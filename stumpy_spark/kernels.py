@@ -1,0 +1,530 @@
+"""Pure-numpy sliding-window kernels (no Spark imports).
+
+These are the vectorized building blocks that the engine's pandas/Arrow UDFs
+close over.  Semantics reproduce the reference's numerical contracts
+(citations refer to /root/reference/):
+
+- sliding mean/std via the two-cumulative-sum trick
+  (contract of stumpy/core.py:1018-1100 ``compute_mean_std``)
+- sliding dot product, direct and FFT (core.py:652-715)
+- z-normalized squared-distance formula with constant / non-finite special
+  cases (core.py:1107-1168 ``_calculate_squared_distance``)
+- exclusion zone (core.py:2047-2106), rolling isfinite (core.py:2522-2579),
+  rolling isconstant (core.py:2583-2687)
+- top-k merge rules (core.py:3325-3516)
+
+Everything is vectorized or BLAS-backed; no per-element Python loops in any
+hot path.  Implementations are written from scratch against the documented
+semantics — this is not a copy of the reference's numba kernels (the
+reference iterates diagonals with O(1) covariance updates; we compute exact
+blocked GEMM dot-product matrices, which is the right shape for a columnar
+Arrow batch and avoids recurrence drift).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import config
+
+
+# ---------------------------------------------------------------------------
+# preprocessing / rolling predicates
+# ---------------------------------------------------------------------------
+
+def rolling_isfinite(T: np.ndarray, m: int) -> np.ndarray:
+    """True where all m values of the window starting at i are finite.
+
+    Contract of core.py:2522-2579; implemented as a prefix-sum of the
+    non-finite indicator (the cumsum trick named in SURVEY §2.2).
+    """
+    bad = (~np.isfinite(T)).astype(np.int64)
+    cs = np.concatenate(([0], np.cumsum(bad)))
+    return (cs[m:] - cs[:-m]) == 0
+
+
+def rolling_isconstant(T: np.ndarray, m: int) -> np.ndarray:
+    """True where max(window) - min(window) == 0 (core.py:2583-2687).
+
+    Non-finite windows are forced non-constant
+    (core.py:2690-2734 ``fix_isconstant_isfinite_conflicts``).
+    """
+    mins = sliding_min(T, m)
+    maxs = sliding_max(T, m)
+    out = (maxs - mins) == 0
+    out &= rolling_isfinite(T, m)
+    return out
+
+
+def sliding_min(T: np.ndarray, m: int) -> np.ndarray:
+    """Rolling min over windows of length m (contract of core.py:900-1015)."""
+    return _sliding_extreme(T, m, np.minimum)
+
+
+def sliding_max(T: np.ndarray, m: int) -> np.ndarray:
+    return _sliding_extreme(T, m, np.maximum)
+
+
+def _sliding_extreme(T: np.ndarray, m: int, op) -> np.ndarray:
+    # van Herk/Gil-Werman style two-pass scan: O(n) with numpy accumulate on
+    # m-sized blocks.  NaN propagates (caller handles non-finite separately).
+    n = T.shape[0]
+    l = n - m + 1
+    if l <= 0:
+        return np.empty(0, dtype=np.float64)
+    pad = (-n) % m
+    Tp = np.concatenate([T, np.full(pad, T[-1])]) if pad else T
+    blocks = Tp.reshape(-1, m)
+    left = op.accumulate(blocks, axis=1).ravel()[:n]
+    right = op.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()[:n]
+    out = op(right[:l], left[m - 1:m - 1 + l])
+    return out
+
+
+def sliding_mean_std(T: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sliding mean and population std for all n-m+1 windows.
+
+    The cumulative-sum trick (contract of core.py:1018-1100):
+    ``mean_i = (cs[i+m]-cs[i])/m``, ``var_i = (cs2[i+m]-cs2[i])/m - mean_i^2``.
+    Caller must pass a finite array (NaNs zeroed by :func:`preprocess`).
+    Negative variances from cancellation are clamped to 0.
+    """
+    T = np.asarray(T, dtype=np.float64)
+    cs = np.concatenate(([0.0], np.cumsum(T)))
+    cs2 = np.concatenate(([0.0], np.cumsum(T * T)))
+    mean = (cs[m:] - cs[:-m]) / m
+    var = (cs2[m:] - cs2[:-m]) / m - mean * mean
+    np.maximum(var, 0.0, out=var)
+    return mean, np.sqrt(var)
+
+
+def welford_rolling_var(T: np.ndarray, m: int) -> np.ndarray:
+    """Numerically-robust O(n) rolling population variance.
+
+    Welford-style update contract of core.py:722-831: maintain the window
+    mean and M2; used as a cross-check / fallback for very long windows where
+    the cumsum trick loses precision.  Vectorized two-cumsum on *centered*
+    data: subtracting the global mean first removes the catastrophic
+    cancellation that motivates Welford, with identical O(n) cost.
+    """
+    T = np.asarray(T, dtype=np.float64)
+    c = T - np.nanmean(T)
+    cs = np.concatenate(([0.0], np.cumsum(c)))
+    cs2 = np.concatenate(([0.0], np.cumsum(c * c)))
+    mean = (cs[m:] - cs[:-m]) / m
+    var = (cs2[m:] - cs2[:-m]) / m - mean * mean
+    np.maximum(var, 0.0, out=var)
+    return var
+
+
+def preprocess(T: np.ndarray, m: int):
+    """NaN/inf handling + window stats (contract of core.py:2145-2214).
+
+    Returns ``(T_clean, M_T, Sigma_T, isfinite, isconstant)`` where
+    ``T_clean`` has non-finite values replaced by 0, stats are computed on
+    the cleaned array, windows containing any non-finite are flagged.
+    """
+    T = np.asarray(T, dtype=np.float64).copy()
+    isfinite_w = rolling_isfinite(T, m)
+    T[~np.isfinite(T)] = np.nan
+    isconstant = _rolling_isconstant_nan(T, m)
+    T[np.isnan(T)] = 0.0
+    M_T, Sigma_T = sliding_mean_std(T, m)
+    # Windows with any non-finite value get mean inf (core.py:1092-1093)
+    M_T[~isfinite_w] = np.inf
+    return T, M_T, Sigma_T, isfinite_w, isconstant
+
+
+def _rolling_isconstant_nan(T: np.ndarray, m: int) -> np.ndarray:
+    finite = rolling_isfinite(T, m)
+    Tz = np.where(np.isnan(T), 0.0, T)
+    out = (sliding_max(Tz, m) - sliding_min(Tz, m)) == 0
+    out &= finite
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sliding dot product
+# ---------------------------------------------------------------------------
+
+def sliding_dot_product(Q: np.ndarray, T: np.ndarray) -> np.ndarray:
+    """QT[i] = Q . T[i:i+m] for all i (contract of core.py:652-715).
+
+    Picks the FFT path for large m (the reference's O(n log n) vs O(nm)
+    heuristic, SURVEY §4 row 2), else a strided BLAS matvec.
+    """
+    Q = np.asarray(Q, dtype=np.float64)
+    T = np.asarray(T, dtype=np.float64)
+    m = Q.shape[0]
+    n = T.shape[0]
+    if m > 128 and n > 4096:
+        return _sliding_dot_product_fft(Q, T)
+    windows = np.lib.stride_tricks.sliding_window_view(T, m)
+    return windows @ Q
+
+
+def _sliding_dot_product_fft(Q: np.ndarray, T: np.ndarray) -> np.ndarray:
+    m = Q.shape[0]
+    n = T.shape[0]
+    size = 1 << (n + m - 1).bit_length()
+    fq = np.fft.rfft(Q[::-1], size)
+    ft = np.fft.rfft(T, size)
+    conv = np.fft.irfft(fq * ft, size)
+    return conv[m - 1:n]
+
+
+# ---------------------------------------------------------------------------
+# distance formula (the contract)
+# ---------------------------------------------------------------------------
+
+def squared_distance_profile(
+    QT: np.ndarray,
+    mu_Q: float,
+    sigma_Q: float,
+    M_T: np.ndarray,
+    Sigma_T: np.ndarray,
+    m: int,
+    Q_isconstant: bool,
+    T_isconstant: np.ndarray,
+    Q_isfinite: bool = True,
+    T_isfinite: np.ndarray | None = None,
+) -> np.ndarray:
+    """z-normalized squared distances of one query vs all windows.
+
+    Vectorized restatement of core.py:1107-1168 ``_calculate_squared_distance``:
+    ``rho = (QT - m mu_Q M_T) / (m sigma_Q Sigma_T)`` with the denominator
+    clamped at DENOM_THRESHOLD, rho clamped <= 1, ``D^2 = |2m(1 - rho)|``;
+    both-constant -> 0; exactly-one-constant -> m; non-finite -> inf.
+    """
+    denom = m * sigma_Q * Sigma_T
+    denom = np.where(np.abs(denom) < config.DENOM_THRESHOLD,
+                     config.DENOM_THRESHOLD, denom)
+    rho = (QT - m * mu_Q * M_T) / denom
+    np.minimum(rho, 1.0, out=rho)
+    D2 = np.abs(2.0 * m * (1.0 - rho))
+    both_const = T_isconstant & Q_isconstant
+    one_const = T_isconstant ^ Q_isconstant
+    D2 = np.where(both_const, 0.0, D2)
+    D2 = np.where(one_const, float(m), D2)
+    if T_isfinite is not None:
+        D2 = np.where(~T_isfinite, np.inf, D2)
+    if not Q_isfinite:
+        D2 = np.full_like(D2, np.inf)
+    return D2
+
+
+def snap_to_zero(D2: np.ndarray) -> np.ndarray:
+    """Squared distances < P_NORM_THRESHOLD -> 0 (stump.py:488-497)."""
+    D2 = np.where(D2 < config.P_NORM_THRESHOLD, 0.0, D2)
+    return D2
+
+
+def apply_exclusion_zone(a: np.ndarray, idx: int, val, excl: int) -> None:
+    """a[idx-excl : idx+excl+1] = val in-place (core.py:2047-2106)."""
+    lo = max(0, idx - excl)
+    hi = idx + excl + 1
+    a[lo:hi] = val
+
+
+def excl_zone(m: int) -> int:
+    """ceil(m / 4) (config.py:19)."""
+    return int(math.ceil(m / config.EXCL_ZONE_DENOM))
+
+
+# ---------------------------------------------------------------------------
+# MASS: one query vs a whole series
+# ---------------------------------------------------------------------------
+
+def mass(
+    Q: np.ndarray,
+    T: np.ndarray,
+    M_T: np.ndarray | None = None,
+    Sigma_T: np.ndarray | None = None,
+    T_isconstant: np.ndarray | None = None,
+    T_isfinite: np.ndarray | None = None,
+    query_idx: int | None = None,
+) -> np.ndarray:
+    """Distance profile of Q against T (contract of core.py:1651-1833).
+
+    If ``query_idx`` is given, an exclusion zone around it is set to inf
+    (self-join probe semantics).
+    """
+    Q = np.asarray(Q, dtype=np.float64)
+    m = Q.shape[0]
+    if M_T is None:
+        T_clean, M_T, Sigma_T, T_isfinite, T_isconstant = preprocess(T, m)
+    else:
+        T_clean = np.nan_to_num(np.asarray(T, dtype=np.float64), nan=0.0,
+                                posinf=0.0, neginf=0.0)
+    Q_isfinite = bool(np.all(np.isfinite(Q)))
+    Qc = np.nan_to_num(Q, nan=0.0, posinf=0.0, neginf=0.0)
+    mu_Q = Qc.mean()
+    sigma_Q = Qc.std()
+    Q_isconstant = Q_isfinite and (np.ptp(Qc) == 0)
+    QT = sliding_dot_product(Qc, T_clean)
+    D2 = squared_distance_profile(
+        QT, mu_Q, sigma_Q, M_T, Sigma_T, m,
+        Q_isconstant, T_isconstant, Q_isfinite, T_isfinite)
+    D2 = snap_to_zero(D2)
+    D = np.sqrt(D2)
+    if query_idx is not None:
+        apply_exclusion_zone(D, query_idx, np.inf, excl_zone(m))
+    return D
+
+
+# ---------------------------------------------------------------------------
+# matrix profile (batch, one series pair, exact)
+# ---------------------------------------------------------------------------
+
+def _pearson_block(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m):
+    """QT block via GEMM -> rho block.  Exact (no recurrence drift)."""
+    QT = windows_A @ windows_B.T            # (ba, lb) BLAS
+    denom = m * np.outer(sig_A, sig_B)
+    denom = np.where(np.abs(denom) < config.DENOM_THRESHOLD,
+                     config.DENOM_THRESHOLD, denom)
+    rho = (QT - m * np.outer(mu_A, mu_B)) / denom
+    np.minimum(rho, 1.0, out=rho)
+    return rho
+
+
+def matrix_profile(
+    T_A: np.ndarray,
+    m: int,
+    T_B: np.ndarray | None = None,
+    k: int = 1,
+    block_rows: int = 1024,
+):
+    """Exact top-k matrix profile, self-join or AB-join.
+
+    Semantics of stumpy/stump.py:513-753: for every subsequence of ``T_A``
+    return the k nearest subsequences of ``T_B`` (z-normalized Euclidean),
+    plus top-1 left/right neighbors for self-joins.  Executed as blocked
+    GEMM distance matrices (BLAS) rather than the reference's numba diagonal
+    recurrence — exact, vectorized, memory-bounded by ``block_rows``.
+
+    Returns ``(P, I, IL, IR)``: P (l, k) float64, I (l, k) int64,
+    IL/IR (l,) int64 (-1 where absent; IL/IR are meaningless for AB-joins,
+    returned as -1, matching ignore_trivial=False semantics).
+    """
+    self_join = T_B is None
+    A, mu_A, sig_A, fin_A, con_A = preprocess(np.asarray(T_A, np.float64), m)
+    if self_join:
+        B, mu_B, sig_B, fin_B, con_B = A, mu_A, sig_A, fin_A, con_A
+    else:
+        B, mu_B, sig_B, fin_B, con_B = preprocess(
+            np.asarray(T_B, np.float64), m)
+
+    la = A.shape[0] - m + 1
+    lb = B.shape[0] - m + 1
+    ez = excl_zone(m) if self_join else -1
+
+    windows_B = np.lib.stride_tricks.sliding_window_view(B, m)
+    windows_A = windows_B if self_join else \
+        np.lib.stride_tricks.sliding_window_view(A, m)
+
+    P = np.full((la, k), np.inf)
+    I = np.full((la, k), -1, dtype=np.int64)
+    IL = np.full(la, -1, dtype=np.int64)
+    IR = np.full(la, -1, dtype=np.int64)
+    PL = np.full(la, np.inf)
+    PR = np.full(la, np.inf)
+
+    cols = np.arange(lb)
+    for start in range(0, la, block_rows):
+        stop = min(start + block_rows, la)
+        rho = _pearson_block(windows_A[start:stop], windows_B,
+                             mu_A[start:stop], sig_A[start:stop],
+                             mu_B, sig_B, m)
+        D2 = np.abs(2.0 * m * (1.0 - rho))
+        blk_con_A = con_A[start:stop][:, None]
+        both = blk_con_A & con_B[None, :]
+        one = blk_con_A ^ con_B[None, :]
+        D2 = np.where(both, 0.0, D2)
+        D2 = np.where(one, float(m), D2)
+        D2[~fin_A[start:stop], :] = np.inf
+        D2[:, ~fin_B] = np.inf
+        D2 = snap_to_zero(D2)
+        D = np.sqrt(D2)
+
+        rows = np.arange(start, stop)
+        if self_join:
+            # band exclusion |j - i| <= ez
+            dist_to_diag = np.abs(cols[None, :] - rows[:, None])
+            Dx = np.where(dist_to_diag <= ez, np.inf, D)
+            # left / right top-1 (stump.py:232-241)
+            left_mask = cols[None, :] < rows[:, None]
+            DL = np.where(left_mask, Dx, np.inf)
+            DR = np.where(~left_mask, Dx, np.inf)
+            jl = np.argmin(DL, axis=1)
+            jr = np.argmin(DR, axis=1)
+            r = np.arange(stop - start)
+            vl = DL[r, jl]
+            vr = DR[r, jr]
+            PL[rows] = vl
+            PR[rows] = vr
+            IL[rows] = np.where(np.isfinite(vl), jl, -1)
+            IR[rows] = np.where(np.isfinite(vr), jr, -1)
+            D = Dx
+        if k == 1:
+            j = np.argmin(D, axis=1)
+            r = np.arange(stop - start)
+            P[rows, 0] = D[r, j]
+            I[rows, 0] = np.where(np.isfinite(D[r, j]), j, -1)
+        else:
+            kk = min(k, lb)
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            r = np.arange(stop - start)[:, None]
+            vals = D[r, part]
+            order = np.argsort(vals, axis=1, kind="stable")
+            vals = np.take_along_axis(vals, order, axis=1)
+            idxs = np.take_along_axis(part, order, axis=1)
+            P[rows, :kk] = vals
+            I[rows, :kk] = np.where(np.isfinite(vals), idxs, -1)
+    return P, I, IL, IR
+
+
+# ---------------------------------------------------------------------------
+# p-norm (non-normalized / aamp) variants
+# ---------------------------------------------------------------------------
+
+def mass_absolute(Q: np.ndarray, T: np.ndarray, p: float = 2.0,
+                  query_idx: int | None = None) -> np.ndarray:
+    """Non-normalized distance profile (contract of core.py:1369-1462)."""
+    Q = np.asarray(Q, dtype=np.float64)
+    T = np.asarray(T, dtype=np.float64)
+    m = Q.shape[0]
+    T_isfinite = rolling_isfinite(T, m)
+    Q_isfinite = bool(np.all(np.isfinite(Q)))
+    Qc = np.nan_to_num(Q)
+    Tc = np.nan_to_num(T)
+    windows = np.lib.stride_tricks.sliding_window_view(Tc, m)
+    if p == 2.0:
+        # direct (w - Q)^2 sum: O(n m) but cancellation-free, exact at the
+        # query's own position (the GEMM expansion loses ~sqrt(eps)·scale)
+        diff = windows - Qc
+        D = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+    else:
+        D = np.power(np.sum(np.abs(windows - Qc) ** p, axis=1), 1.0 / p)
+    D[~T_isfinite] = np.inf
+    if not Q_isfinite:
+        D[:] = np.inf
+    if query_idx is not None:
+        apply_exclusion_zone(D, query_idx, np.inf, excl_zone(m))
+    return D
+
+
+def matrix_profile_absolute(
+    T_A: np.ndarray,
+    m: int,
+    T_B: np.ndarray | None = None,
+    p: float = 2.0,
+    k: int = 1,
+    block_rows: int = 512,
+):
+    """Non-normalized (aamp) matrix profile (stumpy/aamp.py:334-441).
+
+    Same join/topk/left-right semantics as :func:`matrix_profile`, distance
+    ``(sum |a-b|^p)^(1/p)``.
+    """
+    self_join = T_B is None
+    A = np.asarray(T_A, np.float64)
+    B = A if self_join else np.asarray(T_B, np.float64)
+    fin_A = rolling_isfinite(A, m)
+    fin_B = fin_A if self_join else rolling_isfinite(B, m)
+    Ac = np.nan_to_num(A)
+    Bc = np.nan_to_num(B)
+    la = A.shape[0] - m + 1
+    lb = B.shape[0] - m + 1
+    ez = excl_zone(m) if self_join else -1
+    windows_B = np.lib.stride_tricks.sliding_window_view(Bc, m)
+    windows_A = windows_B if self_join else \
+        np.lib.stride_tricks.sliding_window_view(Ac, m)
+
+    P = np.full((la, k), np.inf)
+    I = np.full((la, k), -1, dtype=np.int64)
+    IL = np.full(la, -1, dtype=np.int64)
+    IR = np.full(la, -1, dtype=np.int64)
+    cols = np.arange(lb)
+    if p == 2.0:
+        csB = np.concatenate(([0.0], np.cumsum(Bc * Bc)))
+        b2 = csB[m:] - csB[:-m]
+        csA = csB if self_join else \
+            np.concatenate(([0.0], np.cumsum(Ac * Ac)))
+        a2 = b2 if self_join else csA[m:] - csA[:-m]
+    for start in range(0, la, block_rows):
+        stop = min(start + block_rows, la)
+        if p == 2.0:
+            QT = windows_A[start:stop] @ windows_B.T
+            D2 = a2[start:stop][:, None] - 2.0 * QT + b2[None, :]
+            np.maximum(D2, 0.0, out=D2)
+            # GEMM expansion cancels catastrophically for near-duplicate
+            # pairs; recompute those few entries directly (exact)
+            scale = a2[start:stop][:, None] + b2[None, :]
+            suspect = D2 <= 1e-8 * scale
+            if suspect.any():
+                si, sj = np.nonzero(suspect)
+                diff = windows_A[start + si] - windows_B[sj]
+                D2[si, sj] = np.einsum("ij,ij->i", diff, diff)
+            D = np.sqrt(D2)
+        else:
+            diff = np.abs(windows_A[start:stop, None, :] - windows_B[None])
+            D = np.power(np.sum(diff ** p, axis=2), 1.0 / p)
+        D[~fin_A[start:stop], :] = np.inf
+        D[:, ~fin_B] = np.inf
+        rows = np.arange(start, stop)
+        if self_join:
+            dist_to_diag = np.abs(cols[None, :] - rows[:, None])
+            D = np.where(dist_to_diag <= ez, np.inf, D)
+            left_mask = cols[None, :] < rows[:, None]
+            DL = np.where(left_mask, D, np.inf)
+            DR = np.where(~left_mask, D, np.inf)
+            jl = np.argmin(DL, axis=1)
+            jr = np.argmin(DR, axis=1)
+            r = np.arange(stop - start)
+            IL[rows] = np.where(np.isfinite(DL[r, jl]), jl, -1)
+            IR[rows] = np.where(np.isfinite(DR[r, jr]), jr, -1)
+        kk = min(k, lb)
+        if kk == 1:
+            j = np.argmin(D, axis=1)
+            r = np.arange(stop - start)
+            P[rows, 0] = D[r, j]
+            I[rows, 0] = np.where(np.isfinite(D[r, j]), j, -1)
+        else:
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            r = np.arange(stop - start)[:, None]
+            vals = D[r, part]
+            order = np.argsort(vals, axis=1, kind="stable")
+            vals = np.take_along_axis(vals, order, axis=1)
+            idxs = np.take_along_axis(part, order, axis=1)
+            P[rows, :kk] = vals
+            I[rows, :kk] = np.where(np.isfinite(vals), idxs, -1)
+    return P, I, IL, IR
+
+
+# ---------------------------------------------------------------------------
+# top-k merge (partial -> final aggregation contract)
+# ---------------------------------------------------------------------------
+
+def merge_topk(PA, IA, PB, IB):
+    """Merge two sorted top-k (P, I) row sets; A wins ties, dedup by index.
+
+    Contract of core.py:3325-3394 ``_merge_topk_PI`` — the partial/final
+    aggregation rule used when partition-local top-k results are combined.
+    Inputs/outputs: (l, k) arrays, rows sorted ascending by P.
+    """
+    l, k = PA.shape
+    P_out = np.empty_like(PA)
+    I_out = np.empty_like(IA)
+    for i in range(l):
+        # mask B entries whose index already appears in A (dedup-by-index)
+        dup = np.isin(IB[i], IA[i]) & (IB[i] != -1)
+        pb = np.where(dup, np.inf, PB[i])
+        cat_p = np.concatenate([PA[i], pb])
+        cat_i = np.concatenate([IA[i], IB[i]])
+        # stable sort → A entries (listed first) win ties
+        order = np.argsort(cat_p, kind="stable")[:k]
+        P_out[i] = cat_p[order]
+        I_out[i] = np.where(np.isfinite(cat_p[order]), cat_i[order], -1)
+    return P_out, I_out

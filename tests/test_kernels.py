@@ -1,0 +1,209 @@
+"""Kernel-vs-oracle tests (mirrors the reference test strategy, SURVEY §5).
+
+Fixtures follow /root/reference/tests/test_stump.py:12-24: a small fixed
+pair plus seeded uniform(-1000, 1000) arrays, window m=3 (and larger), with
+NaN/inf substitution and constant-run edge cases.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import naive_oracle as naive
+from stumpy_spark import kernels
+
+PRECISION = 5
+
+T_A_FIXED = np.array([9.0, 8100.0, -60.0, 7.0])
+T_B_FIXED = np.array([584.0, -11.0, 23.0, 79.0, 1001.0, 0.0, -19.0])
+
+rng = np.random.RandomState(42)
+CASES = [
+    (T_A_FIXED, T_B_FIXED, 3),
+    (rng.uniform(-1000, 1000, 8), rng.uniform(-1000, 1000, 8), 3),
+    (rng.uniform(-1000, 1000, 64), rng.uniform(-1000, 1000, 64), 3),
+    (rng.uniform(-1000, 1000, 64), rng.uniform(-1000, 1000, 64), 10),
+    (rng.uniform(-1000, 1000, 256), rng.uniform(-1000, 1000, 256), 25),
+]
+
+SUBST_VALUES = [np.nan, np.inf]
+SUBST_LOCS = [0, -1, slice(1, 3), [0, 3]]
+
+
+@pytest.mark.parametrize("T_A,T_B,m", CASES)
+def test_sliding_mean_std(T_A, T_B, m):
+    for T in (T_A, T_B):
+        mean, std = kernels.sliding_mean_std(T, m)
+        ref_mean, ref_std = naive.rolling_mean_std(T, m)
+        npt.assert_almost_equal(ref_mean, mean, decimal=PRECISION)
+        npt.assert_almost_equal(ref_std, std, decimal=PRECISION)
+
+
+@pytest.mark.parametrize("T_A,T_B,m", CASES)
+def test_sliding_dot_product(T_A, T_B, m):
+    Q = T_A[:m]
+    ref = np.array([float(Q @ T_B[j:j + m])
+                    for j in range(len(T_B) - m + 1)])
+    npt.assert_almost_equal(ref, kernels.sliding_dot_product(Q, T_B),
+                            decimal=PRECISION)
+
+
+def test_sliding_dot_product_fft_path():
+    rs = np.random.RandomState(7)
+    T = rs.uniform(-1, 1, 8192)
+    Q = rs.uniform(-1, 1, 256)
+    direct = np.lib.stride_tricks.sliding_window_view(T, 256) @ Q
+    fft = kernels._sliding_dot_product_fft(Q, T)
+    npt.assert_almost_equal(direct, fft, decimal=PRECISION)
+
+
+def test_sliding_min_max():
+    rs = np.random.RandomState(3)
+    T = rs.uniform(-100, 100, 301)
+    for m in (3, 10, 77):
+        l = len(T) - m + 1
+        ref_min = np.array([T[i:i + m].min() for i in range(l)])
+        ref_max = np.array([T[i:i + m].max() for i in range(l)])
+        npt.assert_array_equal(ref_min, kernels.sliding_min(T, m))
+        npt.assert_array_equal(ref_max, kernels.sliding_max(T, m))
+
+
+def test_rolling_isfinite_isconstant():
+    T = np.array([1.0, 1.0, 1.0, np.nan, 5.0, 5.0, 5.0, 6.0, np.inf, 2.0])
+    m = 3
+    fin = kernels.rolling_isfinite(T, m)
+    ref_fin = np.array([np.all(np.isfinite(T[i:i + m]))
+                        for i in range(len(T) - m + 1)])
+    npt.assert_array_equal(ref_fin, fin)
+    con = kernels.rolling_isconstant(T, m)
+    assert con[0]           # [1,1,1]
+    assert not con[1]       # contains nan -> forced non-constant
+    assert con[4]           # [5,5,5]
+    assert not con[5]
+
+
+@pytest.mark.parametrize("T_A,T_B,m", CASES)
+def test_mass(T_A, T_B, m):
+    Q = T_A[:m]
+    ref = naive.mass(Q, T_B)
+    comp = kernels.mass(Q, T_B)
+    npt.assert_almost_equal(ref, comp, decimal=PRECISION)
+
+
+@pytest.mark.parametrize("T_A,T_B,m", CASES)
+def test_matrix_profile_self_join(T_A, T_B, m):
+    for T in (T_A, T_B):
+        if len(T) < 2 * m:
+            continue
+        ref_P, ref_I, ref_IL, ref_IR = naive.stump(T, m)
+        P, I, IL, IR = kernels.matrix_profile(T, m)
+        npt.assert_almost_equal(ref_P[:, 0], P[:, 0], decimal=PRECISION)
+        npt.assert_array_equal(ref_I[:, 0], I[:, 0])
+        npt.assert_array_equal(ref_IL, IL)
+        npt.assert_array_equal(ref_IR, IR)
+
+
+@pytest.mark.parametrize("T_A,T_B,m", CASES)
+def test_matrix_profile_ab_join(T_A, T_B, m):
+    ref_P, ref_I, _, _ = naive.stump(T_A, m, T_B=T_B)
+    P, I, _, _ = kernels.matrix_profile(T_A, m, T_B=T_B)
+    npt.assert_almost_equal(ref_P[:, 0], P[:, 0], decimal=PRECISION)
+    npt.assert_array_equal(ref_I[:, 0], I[:, 0])
+
+
+@pytest.mark.parametrize("sub", SUBST_VALUES)
+@pytest.mark.parametrize("loc", SUBST_LOCS)
+def test_matrix_profile_nan_inf(sub, loc):
+    rs = np.random.RandomState(11)
+    T = rs.uniform(-1000, 1000, 64)
+    T[loc] = sub
+    ref_P, ref_I, ref_IL, ref_IR = naive.stump(T, 3)
+    P, I, IL, IR = kernels.matrix_profile(T, 3)
+    npt.assert_almost_equal(ref_P[:, 0], P[:, 0], decimal=PRECISION)
+    npt.assert_array_equal(ref_I[:, 0], I[:, 0])
+
+
+def test_matrix_profile_constant_runs():
+    T = np.concatenate([np.zeros(20), np.ones(5)])
+    ref_P, ref_I, _, _ = naive.stump(T, 3)
+    P, I, _, _ = kernels.matrix_profile(T, 3)
+    npt.assert_almost_equal(ref_P[:, 0], P[:, 0], decimal=PRECISION)
+
+    rs = np.random.RandomState(5)
+    T_B = rs.uniform(-1000, 1000, 25)
+    ref_P, ref_I, _, _ = naive.stump(T, 3, T_B=T_B)
+    P, I, _, _ = kernels.matrix_profile(T, 3, T_B=T_B)
+    npt.assert_almost_equal(ref_P[:, 0], P[:, 0], decimal=PRECISION)
+
+
+def test_matrix_profile_identical_motif():
+    """Planted identical subsequences -> snap-to-zero (test_stump.py:134+)."""
+    rs = np.random.RandomState(17)
+    T = rs.uniform(-1000, 1000, 64)
+    motif = rs.uniform(-1000, 1000, 8)
+    T[10:18] = motif
+    T[40:48] = motif
+    P, I, _, _ = kernels.matrix_profile(T, 8)
+    assert P[10, 0] == 0.0
+    assert I[10, 0] == 40
+    assert P[40, 0] == 0.0
+    assert I[40, 0] == 10
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_matrix_profile_topk(k):
+    rs = np.random.RandomState(23)
+    T = rs.uniform(-1000, 1000, 64)
+    ref_P, ref_I, _, _ = naive.stump(T, 3, k=k)
+    P, I, _, _ = kernels.matrix_profile(T, 3, k=k)
+    npt.assert_almost_equal(ref_P, P, decimal=PRECISION)
+    npt.assert_array_equal(ref_I, I)
+
+
+@pytest.mark.parametrize("p", [1.0, 2.0, 3.0])
+def test_matrix_profile_absolute(p):
+    rs = np.random.RandomState(29)
+    T = rs.uniform(-1000, 1000, 64)
+    ref_P, ref_I, _, _ = naive.stump(T, 3, normalize=False, p=p)
+    P, I, _, _ = kernels.matrix_profile_absolute(T, 3, p=p)
+    npt.assert_almost_equal(ref_P[:, 0], P[:, 0], decimal=PRECISION)
+    npt.assert_array_equal(ref_I[:, 0], I[:, 0])
+
+
+def test_mass_absolute():
+    rs = np.random.RandomState(31)
+    T = rs.uniform(-1000, 1000, 64)
+    Q = T[5:15]
+    ref = np.array([naive.pnorm_dist(Q, T[j:j + 10])
+                    for j in range(len(T) - 9)])
+    comp = kernels.mass_absolute(Q, T)
+    npt.assert_almost_equal(ref, comp, decimal=PRECISION)
+
+
+def test_merge_topk():
+    rs = np.random.RandomState(37)
+    l, k = 20, 3
+    PA = np.sort(rs.uniform(0, 10, (l, k)), axis=1)
+    PB = np.sort(rs.uniform(0, 10, (l, k)), axis=1)
+    IA = np.array([rs.choice(50, k, replace=False) for _ in range(l)],
+                  dtype=np.int64)
+    IB = np.array([rs.choice(50, k, replace=False) for _ in range(l)],
+                  dtype=np.int64)
+    P, I = kernels.merge_topk(PA, IA, PB, IB)
+    for i in range(l):
+        # result sorted, size k, no duplicate indices
+        assert np.all(np.diff(P[i]) >= 0)
+        vals = I[i][I[i] != -1]
+        assert len(np.unique(vals)) == len(vals)
+        # every output value exists in one of the inputs
+        for v in P[i]:
+            assert np.isclose(np.concatenate([PA[i], PB[i]]), v).any()
+
+
+def test_welford_rolling_var():
+    rs = np.random.RandomState(41)
+    T = rs.uniform(-1000, 1000, 200) + 1e6   # offset stresses cancellation
+    m = 50
+    ref = np.array([T[i:i + m].var() for i in range(len(T) - m + 1)])
+    comp = kernels.welford_rolling_var(T, m)
+    npt.assert_allclose(ref, comp, rtol=1e-9)
