@@ -1,0 +1,58 @@
+"""Gap-filled continuous aggregates.
+
+Missing (source, bucket) combinations get explicit rows: zeros for additive
+columns, NULL (or last-observation-carried-forward) for min/max columns.
+Built entirely from Catalyst ops: ``sequence()`` + ``explode`` generates the
+dense bucket spine, a **broadcast** of the (tiny) source dimension crosses
+it, and a left join lands the observed points.  The spine side is bounded
+(#sources × #buckets), so the join broadcasts the *aggregated* fact side
+only when small; at scale the spine is broadcast instead — either way no
+skewed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tiers import TIER_SECONDS
+
+_ZERO_FILL = ["n_seq", "sum_n_tok", "sum_window_sums"]
+
+
+def bucket_spine(tier_df: DataFrame, tier: str,
+                 start=None, end=None) -> DataFrame:
+    """Dense (source, bucket) grid covering [start, end] per source."""
+    step = TIER_SECONDS[tier]
+    bounds = tier_df.groupBy("source").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    if start is not None:
+        bounds = bounds.withColumn("lo", F.lit(start).cast("timestamp"))
+    if end is not None:
+        bounds = bounds.withColumn("hi", F.lit(end).cast("timestamp"))
+    return bounds.select(
+        "source",
+        F.explode(F.sequence(
+            F.col("lo"), F.col("hi"),
+            F.expr(f"interval {step} seconds"))).alias("bucket"))
+
+
+def gapfill(tier_df: DataFrame, tier: str, start=None, end=None,
+            locf: bool = False) -> DataFrame:
+    """Fill missing buckets: zeros for additive cols, NULL/LOCF for others."""
+    spine = bucket_spine(tier_df, tier, start=start, end=end)
+    # left-outer: only the right (aggregated, post-rollup, small) side can
+    # be broadcast; the dense spine stays partitioned by source
+    filled = spine.join(F.broadcast(tier_df), ["source", "bucket"], "left")
+    for c in _ZERO_FILL:
+        if c in tier_df.columns:
+            filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    if locf:
+        w = (Window.partitionBy("source").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        for c in tier_df.columns:
+            if c in ("source", "bucket") or c in _ZERO_FILL:
+                continue
+            filled = filled.withColumn(
+                c, F.last(F.col(c), ignorenulls=True).over(w))
+    return filled
