@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (the part that matters at 100 TB):
+
+- exact: hash-groupBy on md5(text) — one shuffle on an (effectively) unique
+  key, AQE-coalesced.  Never groups on raw text (wide shuffle rows).
+- MinHash + LSH: shingle → xxhash64 (JVM built-in, no Python) → 64 minhash
+  aggregations (one shuffle, map-side partial min) → band signature →
+  self-join on (band, band_hash) buckets.  The band join is an equi-join on
+  a high-cardinality key, so it sort-merge-joins cleanly; candidate pairs
+  then get exact Jaccard verification.
+- SimHash: 64-bit sign-of-weighted-bit-sums per doc, vectorized in a pandas
+  UDF over Arrow batches; near-dup = hamming distance ≤ d on the signature
+  (banded same as LSH for scale).
+- n-gram Jaccard: exact verification on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic MinHash permutation parameters (universal hashing);
+# 31-bit Mersenne prime keeps a*(x mod p)+b < 2^62 — no int64 overflow
+# under Spark's ANSI arithmetic
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 42):
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rs.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text",
+                      by: str = "source") -> DataFrame:
+    """Per-group exact-duplicate stats via md5 hash-groupBy."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("h")
+    per_hash = (df.select(F.col(by), h)
+                .groupBy(by, "h").agg(F.count("*").alias("n")))
+    return (per_hash.groupBy(by)
+            .agg(F.sum("n").alias("n_docs"),
+                 F.count("*").alias("n_distinct"),
+                 F.sum(F.when(F.col("n") > 1, F.col("n"))
+                       .otherwise(F.lit(0))).alias("n_in_dup_groups")))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact-duplicate group."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("_h")
+    keep = (df.select(F.col(id_col), h)
+            .groupBy("_h").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 5,
+             id_col: str = "doc_id") -> DataFrame:
+    """Word k-shingle hashes per doc: (doc_id, shingle_hash:long).
+
+    Shingling is a JVM-side expression chain: split → sliding slices via
+    transform over an index sequence → concat_ws → xxhash64.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return (df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+            .select(id_col, F.xxhash64("shingle").alias("sh")))
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 64,
+                       text_col: str = "text", k: int = 5,
+                       id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """(doc_id, sig: array<long>[num_hashes]) via universal-hash min aggs."""
+    a, b = _perm_params(num_hashes, seed)
+    sh = shingles(df, text_col=text_col, k=k, id_col=id_col)
+    # h_i(x) = (a_i * x + b_i) mod p, all JVM-side; pmod keeps it positive
+    x = F.pmod(F.col("sh"), F.lit(_MERSENNE))
+    mins = [
+        F.min(F.pmod(x * F.lit(int(a[i])) + F.lit(int(b[i])),
+                     F.lit(_MERSENNE))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*mins)
+    return sigs.select(
+        id_col,
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs."""
+    rows_per_band = F.size(F.col("sig")) / bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.xxhash64(F.slice(
+                F.col("sig"),
+                (bnd * rows_per_band + 1).cast("int"),
+                rows_per_band.cast("int"))))).alias("band", "bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right, [F.col("l.band") == F.col("r.band"),
+                              F.col("l.bh") == F.col("r.bh"),
+                              F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  k: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification step)."""
+    sh = shingles(df, text_col=text_col, k=k, id_col=id_col).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (pairs.join(a, "id_a").join(b, ["id_b", "sh"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sza = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+        "sz", "sz_a")
+    szb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+        "sz", "sz_b")
+    return (inter.join(F.broadcast(sza), "id_a")
+            .join(F.broadcast(szb), "id_b")
+            .select("id_a", "id_b",
+                    (F.col("inter").cast("double") /
+                     (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                    .alias("jaccard")))
+
+
+def minhash_dedup_pairs(df: DataFrame, num_hashes: int = 64,
+                        bands: int = 16, threshold: float = 0.8,
+                        text_col: str = "text", k: int = 5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH buckets → exact verify."""
+    sigs = minhash_signatures(df, num_hashes, text_col=text_col, k=k,
+                              id_col=id_col)
+    cand = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    verified = ngram_jaccard(df, cand, text_col=text_col, k=k,
+                             id_col=id_col)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc, vectorized per Arrow batch.
+
+    Token hashes come from a cheap numpy FNV-1a over utf-8 bytes; the
+    bit-vote accumulation is a (tokens × 64) unpackbits matmul — no
+    per-row Python beyond the tokenize step.
+    """
+    from collections.abc import Iterator
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.StringType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split()
+                if not toks:
+                    ids.append(did)
+                    out.append(0)
+                    continue
+                hs = np.array([_fnv1a64(t) for t in toks],
+                              dtype=np.uint64)
+                bits = np.unpackbits(
+                    hs.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+                votes = bits.sum(axis=0) * 2 - len(hs)
+                sig_bits = (votes > 0).astype(np.uint8)
+                sig = int(np.packbits(sig_bits).view(">u8")[0])
+                ids.append(did)
+                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({id_col: ids, "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8", "ignore"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale:
+    16-bit bands — any pair within hamming ≤ 3 shares ≥ 1 exact band."""
+    bands = [(F.shiftrightunsigned(F.col("simhash"), 16 * i)
+              .bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}") for i in range(4)]
+    banded = sigs.select(id_col, "simhash", *bands)
+    banded = banded.unpivot(
+        [id_col, "simhash"], [f"b{i}" for i in range(4)], "band", "bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (l.join(r, [F.col("l.band") == F.col("r.band"),
+                       F.col("l.bh") == F.col("r.bh"),
+                       F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.col("l.simhash").alias("sig_a"),
+                    F.col("r.simhash").alias("sig_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

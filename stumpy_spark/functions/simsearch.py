@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns.
+
+- :func:`brute_knn` — exact top-k cosine.  The query set is broadcast (it's
+  the small side); candidates are scanned once with a vectorized numpy
+  GEMM per Arrow batch producing **partition-local top-k**, then a single
+  groupBy merges partials — the classic partial/final aggregation shape, no
+  all-pairs shuffle, no driver collect of candidates.
+- :func:`lsh_knn` — scale path: random-hyperplane signatures bucket both
+  sides; exact rerank only within buckets.  Recall < 1 by design; use
+  multiple tables (``n_tables``) to trade compute for recall.
+- :func:`embedding_near_dup` — near-duplicate pairs by cosine ≥ threshold,
+  LSH-bucketed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+_TOPK_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType()),
+    T.StructField("cand_id", T.LongType()),
+    T.StructField("score", T.DoubleType()),
+])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_knn(cands: DataFrame, queries: pd.DataFrame, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              round_decimals: int | None = None) -> DataFrame:
+    """Exact top-k cosine for each query row (pandas: id_col, vec_col).
+
+    Returns (query_id, cand_id, score) with ties broken toward the smaller
+    cand_id (stable, oracle-friendly).  Set ``round_decimals`` to round
+    scores *before* ranking so results are reproducible across engines.
+    """
+    q_ids = queries[id_col].to_numpy()
+    Q = _normalize(np.stack(queries[vec_col].to_numpy()).astype(np.float64))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _normalize(np.stack(pdf[vec_col].to_numpy())
+                           .astype(np.float64))
+            c_ids = pdf[id_col].to_numpy()
+            scores = Q @ C.T                       # (nq, batch)
+            if round_decimals is not None:
+                scores = np.round(scores, round_decimals)
+            kk = min(k, scores.shape[1])
+            # partition-local top-k per query (merged by the final agg)
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(len(q_ids)):
+                for ci in part[qi]:
+                    rows.append((int(q_ids[qi]), int(c_ids[ci]),
+                                 float(scores[qi, ci])))
+            yield pd.DataFrame(rows, columns=["query_id", "cand_id",
+                                              "score"])
+
+    partial = cands.mapInPandas(run, schema=_TOPK_SCHEMA)
+    w = F.row_number().over(
+        Window.partitionBy("query_id")
+        .orderBy(F.col("score").desc(), F.col("cand_id").asc()))
+    return (partial.withColumn("rank", w)
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "score", "rank"))
+
+
+def hyperplane_signatures(df: DataFrame, dim: int, n_bits: int = 16,
+                          seed: int = 42, vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Random-hyperplane LSH signature (int bucket id) per vector."""
+    rs = np.random.RandomState(seed)
+    H = rs.normal(size=(dim, n_bits))
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (M @ H) > 0
+        out = np.zeros(len(M), dtype=np.int64)
+        for b in range(n_bits):
+            out |= bits[:, b].astype(np.int64) << b
+        return pd.Series(out)
+
+    return df.withColumn("bucket", sig(F.col(vec_col)))
+
+
+def lsh_knn(cands: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+            n_bits: int = 12, n_tables: int = 4,
+            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: union of per-table bucket joins + exact rerank.
+
+    Each table uses a different hyperplane seed; query/candidate pairs
+    colliding in any table are scored exactly, then top-k per query.
+    """
+    pairs = None
+    for t in range(n_tables):
+        qs = hyperplane_signatures(queries, dim, n_bits, seed=100 + t,
+                                   vec_col=vec_col, id_col=id_col)
+        cs = hyperplane_signatures(cands, dim, n_bits, seed=100 + t,
+                                   vec_col=vec_col, id_col=id_col)
+        p = (qs.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"), "bucket")
+             .join(cs.select(F.col(id_col).alias("cand_id"),
+                             F.col(vec_col).alias("cv"), "bucket"),
+                   "bucket")
+             .drop("bucket"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["query_id", "cand_id"])
+
+    @F.pandas_udf("double")
+    def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        Qm = _normalize(np.stack(qv.to_numpy()).astype(np.float64))
+        Cm = _normalize(np.stack(cv.to_numpy()).astype(np.float64))
+        return pd.Series(np.einsum("ij,ij->i", Qm, Cm))
+
+    from pyspark.sql.window import Window
+    scored = pairs.withColumn("score", cos(F.col("qv"), F.col("cv")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col("cand_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "score", "rank"))
+
+
+def embedding_near_dup(df: DataFrame, dim: int, threshold: float = 0.95,
+                       n_bits: int = 12, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), LSH-bucketed."""
+    sigs = hyperplane_signatures(df, dim, n_bits, vec_col=vec_col,
+                                 id_col=id_col)
+    l = sigs.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("va"), "bucket")
+    r = sigs.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("vb"), "bucket")
+    cand = (l.join(r, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = _normalize(np.stack(va.to_numpy()).astype(np.float64))
+        B = _normalize(np.stack(vb.to_numpy()).astype(np.float64))
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return (cand.withColumn("score", cos(F.col("va"), F.col("vb")))
+            .where(F.col("score") >= threshold)
+            .select("id_a", "id_b", "score"))

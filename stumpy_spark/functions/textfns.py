@@ -1,0 +1,109 @@
+"""Text analysis for training-data pipelines (SURVEY extension scope):
+token counting, quality scoring, language ID, document fingerprinting.
+
+Everything except the fingerprint is pure Catalyst column expressions
+(JVM-side, whole-stage codegen); the fingerprint is a vectorized pandas UDF
+(rolling polynomial hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "es", "una", "para"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (split on single space, empties included —
+    matches the SQL oracle's string_split semantics exactly)."""
+    return F.size(F.split(text, " "))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish regex token count: words, numbers, punctuation runs."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / space ratio quality features.
+
+    All ratios are integer-count / integer-count double divisions —
+    deterministic and bit-exact against an equivalent SQL oracle.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    spaces = n - F.length(F.regexp_replace(t, " ", ""))
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    punct = n - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    denom = F.greatest(n, F.lit(1)).cast("double")
+    return (df
+            .withColumn("n_chars_calc", n)
+            .withColumn("n_tokens", token_count(t))
+            .withColumn("space_ratio", spaces.cast("double") / denom)
+            .withColumn("digit_ratio", digits.cast("double") / denom)
+            .withColumn("punct_ratio", punct.cast("double") / denom))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0, 1]: long-enough, low-digit, low-punct."""
+    q = quality_columns(df, text_col)
+    score = (
+        F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - F.least(F.col("digit_ratio") * 2, F.lit(1.0)))
+        * (F.lit(1.0) - F.least(F.col("punct_ratio") * 2, F.lit(1.0))))
+    return q.withColumn("quality_score", score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID; `und` when no marker hits.
+
+    Pure column expressions: per-language hit counts over a lowercased
+    token set, argmax via greatest + chained when.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    counts = {
+        lang: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # reverse order → earlier languages win ties after the fold
+    for lang in reversed(list(counts)):
+        expr = F.when(counts[lang] == best, F.lit(lang)).otherwise(expr)
+    return df.withColumn("lang_pred",
+                         F.when(best <= 0, F.lit("und")).otherwise(expr))
+
+
+def _fingerprint_batch(texts: pd.Series) -> pd.Series:
+    """64-bit rolling polynomial hash over whitespace tokens."""
+    MOD = (1 << 61) - 1
+    BASE = 1000003
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = 0
+        for tok in (t or "").split():
+            th = 0
+            for b in tok.encode("utf-8", "ignore"):
+                th = (th * 131 + b) % MOD
+            h = (h * BASE + th + 1) % MOD
+        out[i] = h
+    return pd.Series(out)
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Column: 64-bit rolling polynomial document fingerprint (pandas UDF,
+    created lazily so importing this module needs no SparkSession)."""
+    return pandas_udf(_fingerprint_batch, "long")(col)

@@ -1,0 +1,180 @@
+"""Dedup / text-analysis / similarity-search tests with pure-python oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from stumpy_spark.functions import dedup, simsearch, textfns
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet") \
+        .withColumn("doc_id", F.col("doc_id").cast("string")).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_exact_dedup_stats(docs, docs_pdf):
+    got = dedup.exact_dedup_stats(docs).toPandas().set_index("source")
+    for src, grp in docs_pdf.groupby("source"):
+        counts = grp.text.value_counts()
+        assert got.loc[src].n_docs == len(grp)
+        assert got.loc[src].n_distinct == grp.text.nunique()
+        assert got.loc[src].n_in_dup_groups == counts[counts > 1].sum()
+
+
+def test_dedup_exact_keeps_one_per_group(docs, docs_pdf):
+    kept = dedup.dedup_exact(docs).toPandas()
+    assert len(kept) == docs_pdf.text.nunique()
+    assert kept.text.nunique() == len(kept)
+    # representative = min doc_id per text group
+    exp = docs_pdf.groupby("text").doc_id.min()
+    got = kept.set_index("text").doc_id
+    assert (exp.astype(str).sort_index() == got.astype(str).sort_index()).all()
+
+
+def _py_shingles(text, k=5):
+    toks = text.split()
+    if len(toks) <= k:
+        return {" ".join(toks[:k])}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_minhash_jaccard_approximates(docs, docs_pdf):
+    """MinHash similarity ≈ true Jaccard on the most similar pair."""
+    sigs = dedup.minhash_signatures(docs, num_hashes=64).toPandas()
+    sig_map = {r.doc_id: np.array(r.sig) for r in sigs.itertuples()}
+    texts = docs_pdf.set_index(docs_pdf.doc_id.astype(str)).text
+    ids = list(sig_map)
+    rs = np.random.RandomState(0)
+    worst = 0.0
+    for _ in range(200):
+        a, b = rs.choice(len(ids), 2, replace=False)
+        ia, ib = ids[a], ids[b]
+        est = float((sig_map[ia] == sig_map[ib]).mean())
+        sa, sb = _py_shingles(texts[ia]), _py_shingles(texts[ib])
+        true = len(sa & sb) / max(len(sa | sb), 1)
+        worst = max(worst, abs(est - true))
+    assert worst <= 0.35      # 64 hashes → se ~0.06; loose bound
+
+
+def test_minhash_finds_exact_dups(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(6)],
+        "text": ["the quick brown fox jumps over the lazy dog " * 5,
+                 "the quick brown fox jumps over the lazy dog " * 5,
+                 "совершенно другой текст " * 10,
+                 "yet another completely different document body " * 6,
+                 "the quick brown fox jumps over the lazy dog extra " * 5,
+                 "unrelated words here that match nothing else at all " * 4],
+    })
+    df = spark.createDataFrame(pdf)
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.5).toPandas()
+    assert (("d0", "d1") in set(zip(pairs.id_a, pairs.id_b)))
+    j = pairs.set_index(["id_a", "id_b"]).jaccard
+    assert j.loc[("d0", "d1")] == 1.0
+
+
+def test_simhash(spark, docs):
+    sigs = dedup.simhash_signatures(docs).toPandas()
+    # synthetic docs share vocabulary, so collisions happen; just require
+    # meaningful spread
+    assert sigs.simhash.nunique() > len(sigs) * 0.3
+    # identical text -> identical simhash, near text -> near simhash
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "text": ["alpha beta gamma delta epsilon zeta " * 10] * 2})
+    s = dedup.simhash_signatures(spark.createDataFrame(pdf)).toPandas()
+    assert s.simhash.iloc[0] == s.simhash.iloc[1]
+    near = dedup.simhash_near_pairs(
+        dedup.simhash_signatures(spark.createDataFrame(pdf)),
+        max_hamming=3).toPandas()
+    assert len(near) == 1 and near.hamming.iloc[0] == 0
+
+
+def test_text_quality_and_lang(spark):
+    pdf = pd.DataFrame({
+        "doc_id": ["e", "d", "f", "u"],
+        "text": ["the cat and the dog is in the house",
+                 "der Hund und die Katze ist nicht hier",
+                 "le chat et les chiens est la",
+                 "xyzzy plugh 12345"],
+    })
+    df = textfns.lang_id(spark.createDataFrame(pdf))
+    got = {r.doc_id: r.lang_pred for r in df.collect()}
+    assert got == {"e": "en", "d": "de", "f": "fr", "u": "und"}
+    q = textfns.quality_score(spark.createDataFrame(pdf)).toPandas()
+    assert ((q.quality_score >= 0) & (q.quality_score <= 1)).all()
+    row = q.set_index("doc_id").loc["e"]
+    assert row.n_tokens == 9
+
+
+def test_fingerprint_deterministic(spark):
+    pdf = pd.DataFrame({"text": ["a b c", "a b c", "a b d", ""]})
+    df = spark.createDataFrame(pdf).withColumn(
+        "fp", textfns.doc_fingerprint(F.col("text")))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1] != fps[2]
+    assert fps[3] == 0
+
+
+def test_brute_knn_matches_numpy(emb):
+    pdf = emb.toPandas()
+    M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    queries = pdf.head(5)
+    got = simsearch.brute_knn(emb, queries, k=5).toPandas()
+    S = (Mn[:5] @ Mn.T)
+    for qi in range(5):
+        order = np.lexsort((pdf.vec_id.to_numpy(), -S[qi]))[:5]
+        exp_ids = pdf.vec_id.to_numpy()[order]
+        g = got[got.query_id == pdf.vec_id[qi]].sort_values("rank")
+        assert list(g.cand_id) == list(exp_ids)
+        np.testing.assert_allclose(np.sort(S[qi])[::-1][:5],
+                                   g.score.to_numpy(), rtol=1e-9)
+
+
+def test_lsh_knn_recall(emb):
+    pdf = emb.toPandas()
+    queries = emb.limit(10)
+    exact = simsearch.brute_knn(emb, pdf.head(10), k=5).toPandas()
+    approx = simsearch.lsh_knn(emb, queries, dim=64, k=5, n_bits=4,
+                               n_tables=8).toPandas()
+    hits = 0
+    total = 0
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].cand_id)
+        a = set(approx[approx.query_id == qid].cand_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total > 0.5      # recall with 6×8-bit tables
+
+
+def test_embedding_near_dup_self(spark, emb):
+    # duplicate a vector under a new id → must be caught
+    pdf = emb.limit(3).toPandas()
+    dup = pdf.copy()
+    dup["vec_id"] = dup["vec_id"] + 1_000_000
+    both = spark.createDataFrame(pd.concat([pdf, dup]))
+    pairs = simsearch.embedding_near_dup(both, dim=64, threshold=0.999,
+                                         n_bits=8).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    for vid in pdf.vec_id:
+        assert (vid, vid + 1_000_000) in found
