@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline queries once at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and print
+ONE JSON line: ``{"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}``.
+
+``--scaling``: run the rollup job at local[8] and local[32] on the same
+input (two separate JVM runs via subprocess) and report throughput at both
+plus scaling efficiency — the sandbox evidence for the north rule's
+two-cluster-size criterion.  Results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+M = 25
+
+
+def _spark(cpus: int):
+    from stumpy_spark.session import get_spark
+    return get_spark(app_name=f"bench-{cpus}", cpus=cpus)
+
+
+def _queries(spark, sf_dir: str):
+    """Headline queries: (name, thunk) — each thunk fully executes a job."""
+    from pyspark.sql import functions as F
+    from stumpy_spark.operators import profile_summary, sliding_stats
+    from stumpy_spark.rollup import tiers as RT
+    from stumpy_spark.rollup.compress import compress_tier
+    from stumpy_spark.rollup.gapfill import gapfill
+    from stumpy_spark.sources.tokseq import read_tokseq
+
+    df = read_tokseq(spark, sf_dir)
+
+    def q_rollup_cascade():
+        raw = RT.per_sequence_stats_fused(df, m=M)
+        tiers = RT.cascade(raw)
+        return sum(t.count() for t in tiers.values())
+
+    def q_gapfill_1h():
+        raw = RT.per_sequence_stats_fused(df, m=M)
+        return gapfill(RT.rollup_tier(raw, "1h"), "1h").count()
+
+    def q_sliding_stats():
+        return sliding_stats(df, M).count()
+
+    def q_distinct_tokens_1d():
+        return RT.distinct_tokens_per_bucket(df, "1d").count()
+
+    def q_matrix_profile():
+        sub = df.where(F.col("n_tok") >= 2 * M)
+        return profile_summary(sub, M).count()
+
+    def q_compress_1m():
+        raw = RT.per_sequence_stats_fused(df, m=M)
+        t1m = RT.rollup_tier(raw, "1m")
+        return compress_tier(
+            t1m, ["n_seq", "sum_n_tok"]).agg(
+            {"encoded_bytes": "sum"}).collect()[0][0]
+
+    return [
+        ("rollup_cascade", q_rollup_cascade),
+        ("gapfill_1h", q_gapfill_1h),
+        ("sliding_stats_m25", q_sliding_stats),
+        ("distinct_tokens_1d", q_distinct_tokens_1d),
+        ("matrix_profile_m25", q_matrix_profile),
+        ("gorilla_compress_1m", q_compress_1m),
+    ]
+
+
+def run_once(cpus: int, sf_dir: str) -> dict:
+    spark = _spark(cpus)
+    try:
+        from stumpy_spark.sources.tokseq import ensure_tokseq, n_docs_for
+        ensure_tokseq(spark, sf_dir)          # not timed
+        n_docs = n_docs_for(sf_dir)
+        results = {}
+        for name, thunk in _queries(spark, sf_dir):
+            t0 = time.time()
+            thunk()
+            results[name] = round(time.time() - t0, 3)
+        total = round(sum(results.values()), 3)
+        return {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": results,
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "cpus": cpus,
+            "n_docs": n_docs,
+            "rollup_throughput_seq_per_sec": round(
+                n_docs / results["rollup_cascade"], 1),
+        }
+    finally:
+        spark.stop()
+
+
+def _rollup_only(cpus: int, sf_dir: str) -> dict:
+    """Single rollup-cascade job (used by --scaling subprocesses)."""
+    spark = _spark(cpus)
+    try:
+        from stumpy_spark.rollup import tiers as RT
+        from stumpy_spark.sources.tokseq import (ensure_tokseq, n_docs_for,
+                                                 read_tokseq)
+        ensure_tokseq(spark, sf_dir)
+        df = read_tokseq(spark, sf_dir)
+        t0 = time.time()
+        raw = RT.per_sequence_stats_fused(df, m=M)
+        tiers = RT.cascade(raw)
+        rows = sum(t.count() for t in tiers.values())
+        wall = time.time() - t0
+        return {"cpus": cpus, "wall_sec": round(wall, 3),
+                "rows": rows,
+                "throughput_seq_per_sec": round(n_docs_for(sf_dir) / wall,
+                                                1)}
+    finally:
+        spark.stop()
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    out = {}
+    for cpus in (lo, hi):
+        # fresh JVM per parallelism level so executor threads are real
+        r = subprocess.run(
+            [sys.executable, __file__, "--rollup-only", str(cpus), sf_dir],
+            capture_output=True, text=True, check=True)
+        out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+    eff = (out[hi]["throughput_seq_per_sec"]
+           / out[lo]["throughput_seq_per_sec"]) / (hi / lo)
+    return {"lo": out[lo], "hi": out[hi],
+            "scaling_efficiency": round(eff, 3), "factor": hi // lo}
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--rollup-only":
+        print(json.dumps(_rollup_only(int(sys.argv[2]), sys.argv[3])))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        sf = sys.argv[2] if len(sys.argv) > 2 else SF_DIR
+        print(json.dumps(run_scaling(sf)))
+        return
+    print(json.dumps(run_once(CPUS, SF_DIR)))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,19 +72,24 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Pure column expressions: per-language hit counts over a lowercased
     token set, argmax via greatest + chained when.
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    counts = {
-        lang: F.size(F.array_intersect(
-            toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in _LANG_MARKERS.items()
-    }
-    best = F.greatest(*counts.values())
+    # materialize the split and each count once — naming the intermediate
+    # columns keeps Catalyst from inlining the (expensive) split/intersect
+    # expression tree into every branch of the argmax CASE chain
+    out = df.withColumn("_toks", F.split(F.lower(F.col(text_col)), r"\s+"))
+    for lang, words in _LANG_MARKERS.items():
+        out = out.withColumn(f"_c_{lang}", F.size(F.array_intersect(
+            F.col("_toks"), F.array(*[F.lit(w) for w in words]))))
+    counts = {lang: F.col(f"_c_{lang}") for lang in _LANG_MARKERS}
+    out = out.withColumn("_best", F.greatest(*counts.values()))
+    best = F.col("_best")
     expr = F.lit("und")
     # reverse order → earlier languages win ties after the fold
     for lang in reversed(list(counts)):
         expr = F.when(counts[lang] == best, F.lit(lang)).otherwise(expr)
-    return df.withColumn("lang_pred",
+    out = out.withColumn("lang_pred",
                          F.when(best <= 0, F.lit("und")).otherwise(expr))
+    return out.drop("_toks", "_best",
+                    *[f"_c_{lang}" for lang in _LANG_MARKERS])
 
 
 def _fingerprint_batch(texts: pd.Series) -> pd.Series:

@@ -117,10 +117,13 @@ def per_sequence_stats_fused(df: DataFrame, m: int = 25) -> DataFrame:
                 maxstd[r] = std.max()
             out = pdf[["doc_id", "source", "event_ts", "n_tok"]].copy()
             out["sum_window_sums"] = sws
-            out["min_mean"] = mins
-            out["max_mean"] = maxs
-            out["min_std"] = minstd
-            out["max_std"] = maxstd
+            # short sequences (n < m) must yield NULL, not NaN: Spark's
+            # min/max treat NaN as the largest double (poisoning max),
+            # while NULLs are skipped — and the SQL oracle yields NULL
+            for col, arr in (("min_mean", mins), ("max_mean", maxs),
+                             ("min_std", minstd), ("max_std", maxstd)):
+                out[col] = pd.array(arr, dtype="Float64")
+                out.loc[np.isnan(arr), col] = pd.NA
             yield out
 
     cols = ["doc_id", "tokens", "source", "event_ts", "n_tok"]
