@@ -295,6 +295,7 @@ def matrix_profile(
     T_B: np.ndarray | None = None,
     k: int = 1,
     block_rows: int = 1024,
+    return_left_right_P: bool = False,
 ):
     """Exact top-k matrix profile, self-join or AB-join.
 
@@ -382,6 +383,8 @@ def matrix_profile(
             idxs = np.take_along_axis(part, order, axis=1)
             P[rows, :kk] = vals
             I[rows, :kk] = np.where(np.isfinite(vals), idxs, -1)
+    if return_left_right_P:
+        return P, I, IL, IR, PL, PR
     return P, I, IL, IR
 
 

@@ -1,0 +1,251 @@
+"""Spark operators for motif/discord/segmentation/snippet/chain mining.
+
+Each is a mapInPandas over sequences (one row = one series, zero shuffle),
+closing over the numpy kernels in :mod:`stumpy_spark.mining`.  MPdist and
+ostinato take *pairs/groups* of sequences: pairs are built with a self-join
+on a pre-shuffled id relation; groups use groupBy().applyInPandas (the
+group is the reference's "list of series" unit, ostinato.py:148-157).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import kernels, mining
+
+_MOTIF_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("motif_rank", T.IntegerType()),
+    T.StructField("motif_idx", T.LongType()),
+    T.StructField("match_idxs", T.ArrayType(T.LongType())),
+    T.StructField("match_dists", T.ArrayType(T.DoubleType())),
+])
+
+
+def motifs(df: DataFrame, m: int, max_motifs: int = 3,
+           max_matches: int = 10, id_col: str = "doc_id",
+           tokens_col: str = "tokens") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf[id_col], pdf[tokens_col]):
+                a = np.asarray(toks, dtype=np.float64)
+                if len(a) < 2 * m:
+                    continue
+                P = kernels.matrix_profile(a, m)[0][:, 0]
+                md, mi = mining.motifs(a, P, m, max_motifs=max_motifs,
+                                       max_matches=max_matches)
+                for rank, (ds, isx) in enumerate(zip(md, mi)):
+                    rows.append((did, rank, isx[0], isx, ds))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "motif_rank", "motif_idx", "match_idxs",
+                    "match_dists"])
+
+    return df.select(id_col, tokens_col).mapInPandas(
+        run, schema=_MOTIF_SCHEMA)
+
+
+_FLUSS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("regimes", T.ArrayType(T.LongType())),
+    T.StructField("cac_min", T.DoubleType()),
+])
+
+
+def fluss(df: DataFrame, m: int, n_regimes: int = 2,
+          excl_factor: int = 2, id_col: str = "doc_id",
+          tokens_col: str = "tokens") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf[id_col], pdf[tokens_col]):
+                a = np.asarray(toks, dtype=np.float64)
+                if len(a) < 2 * m or len(a) < 2 * m * excl_factor + 2:
+                    continue
+                I = kernels.matrix_profile(a, m)[0: 2][1][:, 0]
+                c, regs = mining.fluss(I, L=m, n_regimes=n_regimes,
+                                       excl_factor=excl_factor)
+                rows.append((did, [int(r) for r in regs], float(c.min())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "regimes", "cac_min"])
+
+    return df.select(id_col, tokens_col).mapInPandas(
+        run, schema=_FLUSS_SCHEMA)
+
+
+_MPDIST_SCHEMA = T.StructType([
+    T.StructField("id_a", T.StringType()),
+    T.StructField("id_b", T.StringType()),
+    T.StructField("mpdist", T.DoubleType()),
+])
+
+
+def mpdist_pairs(df: DataFrame, pairs: DataFrame, m: int,
+                 percentage: float = 0.05, normalize: bool = True,
+                 id_col: str = "doc_id",
+                 tokens_col: str = "tokens") -> DataFrame:
+    """MPdist for explicit (id_a, id_b) pairs.
+
+    The token arrays are joined onto the pair relation (two hash joins on
+    doc id — high-cardinality, unskewed), then each pair is one kernel
+    call.  At scale, pre-bucket df by doc_id so both joins are
+    shuffle-free."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(tokens_col).alias("_toks_a"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(tokens_col).alias("_toks_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ia, ib, ta_, tb_ in zip(pdf["id_a"], pdf["id_b"],
+                                        pdf["_toks_a"], pdf["_toks_b"]):
+                ta = np.asarray(ta_, dtype=np.float64)
+                tb = np.asarray(tb_, dtype=np.float64)
+                if min(len(ta), len(tb)) < m:
+                    continue
+                d = mining.mpdist(ta, tb, m, percentage=percentage,
+                                  normalize=normalize)
+                rows.append((ia, ib, d))
+            if rows:
+                yield pd.DataFrame(rows, columns=["id_a", "id_b",
+                                                  "mpdist"])
+
+    return joined.mapInPandas(run, schema=_MPDIST_SCHEMA)
+
+
+_SNIPPET_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("snippet_rank", T.IntegerType()),
+    T.StructField("snippet_idx", T.LongType()),
+    T.StructField("fraction", T.DoubleType()),
+    T.StructField("area", T.DoubleType()),
+])
+
+
+def snippets(df: DataFrame, m: int, k: int = 2, id_col: str = "doc_id",
+             tokens_col: str = "tokens") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf[id_col], pdf[tokens_col]):
+                a = np.asarray(toks, dtype=np.float64)
+                if len(a) < 2 * m:
+                    continue
+                idxs, fracs, areas = mining.snippets(a, m, k)
+                for rank in range(len(idxs)):
+                    rows.append((did, rank, int(idxs[rank]),
+                                 float(fracs[rank]), float(areas[rank])))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "snippet_rank", "snippet_idx", "fraction",
+                    "area"])
+
+    return df.select(id_col, tokens_col).mapInPandas(
+        run, schema=_SNIPPET_SCHEMA)
+
+
+_CHAIN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("chain", T.ArrayType(T.LongType())),
+    T.StructField("chain_len", T.IntegerType()),
+])
+
+
+def longest_chain(df: DataFrame, m: int, id_col: str = "doc_id",
+                  tokens_col: str = "tokens") -> DataFrame:
+    """Longest unanchored time-series chain per sequence (allc)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf[id_col], pdf[tokens_col]):
+                a = np.asarray(toks, dtype=np.float64)
+                if len(a) < 2 * m:
+                    continue
+                _, _, IL, IR = kernels.matrix_profile(a, m)
+                _, longest = mining.allc(IL, IR)
+                rows.append((did, [int(x) for x in longest],
+                             len(longest)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "chain",
+                                                  "chain_len"])
+
+    return df.select(id_col, tokens_col).mapInPandas(
+        run, schema=_CHAIN_SCHEMA)
+
+
+_OSTINATO_SCHEMA = T.StructType([
+    T.StructField("group", T.StringType()),
+    T.StructField("radius", T.DoubleType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("subseq_idx", T.LongType()),
+])
+
+
+def ostinato(df: DataFrame, m: int, group_col: str = "source",
+             id_col: str = "doc_id",
+             tokens_col: str = "tokens") -> DataFrame:
+    """Consensus motif per group of sequences (groupBy + applyInPandas;
+    the group is the reference's list-of-series unit)."""
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        Ts = [np.asarray(t, dtype=np.float64) for t in pdf[tokens_col]]
+        ids = list(pdf[id_col])
+        keep = [i for i, t in enumerate(Ts) if len(t) >= 2 * m]
+        if len(keep) < 2:
+            return pd.DataFrame(columns=["group", "radius", "doc_id",
+                                         "subseq_idx"])
+        Ts = [Ts[i] for i in keep]
+        ids = [ids[i] for i in keep]
+        rad, ts_i, idx = mining.ostinato(Ts, m)
+        return pd.DataFrame([(pdf[group_col].iloc[0], rad, ids[ts_i],
+                              idx)],
+                            columns=["group", "radius", "doc_id",
+                                     "subseq_idx"])
+
+    return (df.select(group_col, id_col, tokens_col)
+            .groupBy(group_col).applyInPandas(run, schema=_OSTINATO_SCHEMA))
+
+
+_STIMP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("m", T.IntegerType()),
+    T.StructField("min_p", T.DoubleType()),
+    T.StructField("max_p", T.DoubleType()),
+])
+
+
+def stimp(df: DataFrame, m_values: list[int], id_col: str = "doc_id",
+          tokens_col: str = "tokens") -> DataFrame:
+    """Pan matrix profile summary over window sizes, computed in the
+    reference's BFS (anytime) order."""
+    order = mining.bfs_order(list(m_values))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf[id_col], pdf[tokens_col]):
+                a = np.asarray(toks, dtype=np.float64)
+                pan = mining.stimp_pan(a, order)
+                for m, P in pan.items():
+                    finite = P[np.isfinite(P)]
+                    if not len(finite):
+                        continue
+                    rows.append((did, m, float(finite.min()),
+                                 float(finite.max())))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "m", "min_p",
+                                                  "max_p"])
+
+    return df.select(id_col, tokens_col).mapInPandas(
+        run, schema=_STIMP_SCHEMA)

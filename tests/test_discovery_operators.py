@@ -1,0 +1,101 @@
+"""Spark discovery-operator smoke + parity tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from stumpy_spark import kernels, mining
+from stumpy_spark.operators import discovery as D
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    rs = np.random.RandomState(42)
+    rows = []
+    for i in range(8):
+        n = rs.randint(60, 150)
+        T = rs.uniform(-1000, 1000, n)
+        motif = rs.uniform(-1000, 1000, 8)
+        T[5:13] = motif
+        T[40:48] = motif
+        rows.append((f"doc{i}", T.astype(np.float64)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "tokens"])
+    return spark.createDataFrame(pdf).repartition(3), dict(rows)
+
+
+def test_motifs_operator(spark, seq_df):
+    df, raw = seq_df
+    res = D.motifs(df, 8, max_motifs=1).toPandas()
+    assert set(res.doc_id) == set(raw)
+    for r in res.itertuples():
+        # planted motif pair found
+        assert {5, 40} <= set(r.match_idxs)
+        assert r.match_dists[0] == 0.0
+
+
+def test_fluss_operator(spark, seq_df):
+    df, raw = seq_df
+    res = D.fluss(df, 5, n_regimes=2).toPandas()
+    assert len(res) == len(raw)
+    for r in res.itertuples():
+        assert len(r.regimes) == 1
+        assert 0 <= r.cac_min <= 1
+
+
+def test_mpdist_pairs_operator(spark, seq_df):
+    df, raw = seq_df
+    pairs = spark.createDataFrame(
+        pd.DataFrame([("doc0", "doc1"), ("doc2", "doc3")],
+                     columns=["id_a", "id_b"]))
+    res = D.mpdist_pairs(df, pairs, 8).toPandas().set_index(
+        ["id_a", "id_b"])
+    for (a, b) in [("doc0", "doc1"), ("doc2", "doc3")]:
+        exp = mining.mpdist(raw[a], raw[b], 8)
+        np.testing.assert_almost_equal(res.loc[(a, b)].mpdist, exp,
+                                       decimal=5)
+
+
+def test_snippets_operator(spark, seq_df):
+    df, _ = seq_df
+    res = D.snippets(df, 16, k=2).toPandas()
+    assert res.groupby("doc_id").size().eq(2).all()
+    assert (res.fraction >= 0).all() and (res.fraction <= 1).all()
+
+
+def test_longest_chain_operator(spark, seq_df):
+    df, raw = seq_df
+    res = D.longest_chain(df, 8).toPandas().set_index("doc_id")
+    for did, T in raw.items():
+        _, _, IL, IR = kernels.matrix_profile(T, 8)
+        _, longest = mining.allc(IL, IR)
+        assert list(res.loc[did].chain) == [int(x) for x in longest]
+
+
+def test_ostinato_operator(spark):
+    rs = np.random.RandomState(11)
+    motif = rs.uniform(-1000, 1000, 8)
+    rows = []
+    for g, grp in enumerate(["g1", "g2"]):
+        for i in range(3):
+            T = rs.uniform(-1000, 1000, 50)
+            T[10:18] = motif + rs.normal(0, 0.01, 8)
+            rows.append((grp, f"{grp}_doc{i}", T))
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "tokens"])
+    df = spark.createDataFrame(pdf)
+    res = D.ostinato(df, 8, group_col="source").toPandas()
+    assert set(res.group) == {"g1", "g2"}
+    assert (res.radius < 1.0).all()
+
+
+def test_stimp_operator(spark, seq_df):
+    df, raw = seq_df
+    res = D.stimp(df, [8, 16]).toPandas()
+    for did, T in raw.items():
+        for m in (8, 16):
+            P = kernels.matrix_profile(T, m)[0][:, 0]
+            finite = P[np.isfinite(P)]
+            row = res[(res.doc_id == did) & (res.m == m)].iloc[0]
+            np.testing.assert_almost_equal(row.min_p, finite.min(),
+                                           decimal=5)
