@@ -1,0 +1,193 @@
+"""Anytime / approximate matrix profiles (scrump, prescrump) and the
+multi-dimensional profile (mstump).
+
+Semantics follow the reference:
+
+- :func:`prescrump` — PRESCRIMP sampling every s-th query subsequence
+  (stumpy/scrump.py:507-649): each sampled query contributes its full
+  distance profile, updating P symmetrically (elementwise min).
+- :class:`Scrump` — SCRIMP++ diagonal-subset rounds
+  (stumpy/scrump.py:650-1139): each ``update()`` processes a random subset
+  of diagonals; P converges monotonically to the exact profile and equals
+  it at 100%.
+- :func:`multi_matrix_profile` — mstump (stumpy/mstump.py:1114-1287):
+  per-pair per-dimension z-norm distances, column-sorted, cumulative-mean
+  over the k smallest dims; returns one profile per dimensionality level.
+
+All approximations are **upper bounds** of the exact profile (distances
+only ever decrease as more entries are computed) — that invariant is what
+the tests assert.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kernels
+
+
+def prescrump(T, m: int, s: int | None = None):
+    """Sampled-query approximate MP.  Returns (P, I)."""
+    T = np.asarray(T, dtype=np.float64)
+    n = len(T)
+    l = n - m + 1
+    ez = kernels.excl_zone(m)
+    if s is None:
+        s = ez if ez > 0 else 1
+    Tc, M_T, Sigma_T, fin, con = kernels.preprocess(T, m)
+    P = np.full(l, np.inf)
+    I = np.full(l, -1, dtype=np.int64)
+    for i in range(0, l, s):
+        Q = Tc[i:i + m]
+        QT = kernels.sliding_dot_product(Q, Tc)
+        D2 = kernels.squared_distance_profile(
+            QT, M_T[i], Sigma_T[i], M_T, Sigma_T, m,
+            bool(con[i]), con, bool(fin[i]), fin)
+        D = np.sqrt(kernels.snap_to_zero(D2))
+        kernels.apply_exclusion_zone(D, i, np.inf, ez)
+        j = int(np.argmin(D))
+        if D[j] < P[i]:
+            P[i] = D[j]
+            I[i] = j
+        upd = D < P
+        P[upd] = D[upd]
+        I[upd] = i
+    return P, I
+
+
+class Scrump:
+    """Anytime SCRIMP-style MP over random diagonal subsets."""
+
+    def __init__(self, T, m: int, percentage: float = 0.01,
+                 pre_scrump: bool = False, s: int | None = None,
+                 seed: int = 42):
+        T = np.asarray(T, dtype=np.float64)
+        self.m = m
+        self.l = len(T) - m + 1
+        self.ez = kernels.excl_zone(m)
+        (self.T, self.M_T, self.Sigma_T,
+         self.fin, self.con) = kernels.preprocess(T, m)
+        self.windows = np.lib.stride_tricks.sliding_window_view(self.T, m)
+        self.P = np.full(self.l, np.inf)
+        self.I = np.full(self.l, -1, dtype=np.int64)
+        if pre_scrump:
+            self.P, self.I = prescrump(T, m, s)
+        diags = np.arange(self.ez + 1, self.l)
+        rs = np.random.RandomState(seed)
+        self._diags = rs.permutation(diags)
+        self._pos = 0
+        self._chunk = max(1, int(np.ceil(percentage * len(diags))))
+
+    @property
+    def P_(self):
+        return self.P
+
+    @property
+    def I_(self):
+        return self.I
+
+    def update(self) -> None:
+        """Process the next chunk of diagonals (one anytime round)."""
+        take = self._diags[self._pos:self._pos + self._chunk]
+        self._pos += self._chunk
+        m, l = self.m, self.l
+        for g in take:
+            k = l - g
+            QT = np.einsum("ij,ij->i", self.windows[:k],
+                           self.windows[g:g + k])
+            mu_a, sig_a = self.M_T[:k], self.Sigma_T[:k]
+            mu_b, sig_b = self.M_T[g:g + k], self.Sigma_T[g:g + k]
+            denom = m * sig_a * sig_b
+            denom = np.where(np.abs(denom) < kernels.config.DENOM_THRESHOLD,
+                             kernels.config.DENOM_THRESHOLD, denom)
+            rho = (QT - m * mu_a * mu_b) / denom
+            np.minimum(rho, 1.0, out=rho)
+            D2 = np.abs(2.0 * m * (1.0 - rho))
+            ca, cb = self.con[:k], self.con[g:g + k]
+            D2 = np.where(ca & cb, 0.0, D2)
+            D2 = np.where(ca ^ cb, float(m), D2)
+            D2[~self.fin[:k]] = np.inf
+            D2[~self.fin[g:g + k]] = np.inf
+            D = np.sqrt(kernels.snap_to_zero(D2))
+            ii = np.arange(k)
+            jj = ii + g
+            upd = D < self.P[ii]
+            self.P[ii[upd]] = D[upd]
+            self.I[ii[upd]] = jj[upd]
+            upd = D < self.P[jj]
+            self.P[jj[upd]] = D[upd]
+            self.I[jj[upd]] = ii[upd]
+
+    def run_to_completion(self) -> None:
+        while self._pos < len(self._diags):
+            self.update()
+
+
+def multi_matrix_profile(Ts, m: int):
+    """Multi-dimensional matrix profile (mstump semantics).
+
+    ``Ts``: (d, n) array — rows are dimensions.  Returns (P, I) of shape
+    (d, l): row k is the profile using the k+1 best-aligned dimensions
+    (column-sorted cumulative mean, mstump.py:538-546 / core.py:4049-4097).
+    """
+    Ts = np.asarray(Ts, dtype=np.float64)
+    d, n = Ts.shape
+    l = n - m + 1
+    ez = kernels.excl_zone(m)
+    # per-dim prepared stats
+    prep = [kernels.preprocess(Ts[dim], m) for dim in range(d)]
+    windows = [np.lib.stride_tricks.sliding_window_view(p[0], m)
+               for p in prep]
+    P = np.full((d, l), np.inf)
+    I = np.full((d, l), -1, dtype=np.int64)
+    block = 512
+    for start in range(0, l, block):
+        stop = min(start + block, l)
+        nb = stop - start
+        # D per dim: (d, nb, l)
+        Dd = np.empty((d, nb, l))
+        for dim in range(d):
+            Tc, mu, sig, fin, con = prep[dim]
+            rho = kernels._pearson_block(
+                windows[dim][start:stop], windows[dim],
+                mu[start:stop], sig[start:stop], mu, sig, m)
+            D2 = np.abs(2.0 * m * (1.0 - rho))
+            ca = con[start:stop][:, None]
+            D2 = np.where(ca & con[None, :], 0.0, D2)
+            D2 = np.where(ca ^ con[None, :], float(m), D2)
+            D2[~fin[start:stop], :] = np.inf
+            D2[:, ~fin] = np.inf
+            Dd[dim] = np.sqrt(kernels.snap_to_zero(D2))
+        rows = np.arange(start, stop)
+        cols = np.arange(l)
+        band = np.abs(cols[None, :] - rows[:, None]) <= ez
+        Dd[:, band] = np.inf
+        # sort across dims, cumulative mean
+        Ds = np.sort(Dd, axis=0)
+        Dcum = np.cumsum(Ds, axis=0) / np.arange(1, d + 1)[:, None, None]
+        for kdim in range(d):
+            j = np.argmin(Dcum[kdim], axis=1)
+            r = np.arange(nb)
+            vals = Dcum[kdim][r, j]
+            P[kdim, rows] = vals
+            I[kdim, rows] = np.where(np.isfinite(vals), j, -1)
+    return P, I
+
+
+def subspace(Ts, m: int, idx: int, nn_idx: int, k: int):
+    """Which k+1 dimensions form the motif (mstump.py:96-245): the dims
+    with smallest per-dim z-norm distance between windows idx and nn_idx."""
+    Ts = np.asarray(Ts, dtype=np.float64)
+    d = Ts.shape[0]
+    dists = np.empty(d)
+    for dim in range(d):
+        a = Ts[dim, idx:idx + m]
+        b = Ts[dim, nn_idx:nn_idx + m]
+        sa = a.std()
+        sb = b.std()
+        sa = 1.0 if sa < kernels.config.STDDEV_THRESHOLD else sa
+        sb = 1.0 if sb < kernels.config.STDDEV_THRESHOLD else sb
+        az = (a - a.mean()) / sa
+        bz = (b - b.mean()) / sb
+        dists[dim] = np.sqrt(np.sum((az - bz) ** 2))
+    return np.argsort(dists, kind="stable")[:k + 1]
