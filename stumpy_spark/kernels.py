@@ -279,13 +279,28 @@ def mass(
 # ---------------------------------------------------------------------------
 
 def _pearson_block(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m):
-    """QT block via GEMM -> rho block.  Exact (no recurrence drift)."""
+    """QT block via GEMM -> rho block, all in-place on the GEMM output.
+
+    Exact (no recurrence drift).  sigma==0 columns produce denom 0 →
+    clamped to DENOM_THRESHOLD (callers overwrite constant/non-finite
+    cells afterwards anyway)."""
     QT = windows_A @ windows_B.T            # (ba, lb) BLAS
-    denom = m * np.outer(sig_A, sig_B)
-    denom = np.where(np.abs(denom) < config.DENOM_THRESHOLD,
-                     config.DENOM_THRESHOLD, denom)
-    rho = (QT - m * np.outer(mu_A, mu_B)) / denom
-    np.minimum(rho, 1.0, out=rho)
+    QT -= np.outer(m * mu_A, mu_B)
+    denom = np.outer(m * sig_A, sig_B)
+    np.maximum(denom, config.DENOM_THRESHOLD, out=denom)
+    QT /= denom
+    np.minimum(QT, 1.0, out=QT)
+    return QT
+
+
+def _rho_to_distance_inplace(rho, m):
+    """rho block -> z-norm distance block, in place: D = sqrt(|2m(1-rho)|)
+    with snap-to-zero (stump.py:482-506)."""
+    rho -= 1.0
+    rho *= -2.0 * m
+    np.abs(rho, out=rho)
+    rho[rho < config.P_NORM_THRESHOLD] = 0.0
+    np.sqrt(rho, out=rho)
     return rho
 
 
@@ -296,6 +311,7 @@ def matrix_profile(
     k: int = 1,
     block_rows: int = 1024,
     return_left_right_P: bool = False,
+    compute_left_right: bool = True,
 ):
     """Exact top-k matrix profile, self-join or AB-join.
 
@@ -321,9 +337,12 @@ def matrix_profile(
     lb = B.shape[0] - m + 1
     ez = excl_zone(m) if self_join else -1
 
-    windows_B = np.lib.stride_tricks.sliding_window_view(B, m)
-    windows_A = windows_B if self_join else \
-        np.lib.stride_tricks.sliding_window_view(A, m)
+    # contiguous copies: BLAS GEMM on strided sliding-window views falls
+    # off the fast path (~10x slower); l*m doubles is a cheap price
+    windows_B = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(B, m))
+    windows_A = windows_B if self_join else np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(A, m))
 
     P = np.full((la, k), np.inf)
     I = np.full((la, k), -1, dtype=np.int64)
@@ -332,52 +351,56 @@ def matrix_profile(
     PL = np.full(la, np.inf)
     PR = np.full(la, np.inf)
 
-    cols = np.arange(lb)
+    any_con = bool(con_A.any()) or bool(con_B.any())
+    all_fin_A = bool(fin_A.all())
+    all_fin_B = bool(fin_B.all())
     for start in range(0, la, block_rows):
         stop = min(start + block_rows, la)
-        rho = _pearson_block(windows_A[start:stop], windows_B,
-                             mu_A[start:stop], sig_A[start:stop],
-                             mu_B, sig_B, m)
-        D2 = np.abs(2.0 * m * (1.0 - rho))
-        blk_con_A = con_A[start:stop][:, None]
-        both = blk_con_A & con_B[None, :]
-        one = blk_con_A ^ con_B[None, :]
-        D2 = np.where(both, 0.0, D2)
-        D2 = np.where(one, float(m), D2)
-        D2[~fin_A[start:stop], :] = np.inf
-        D2[:, ~fin_B] = np.inf
-        D2 = snap_to_zero(D2)
-        D = np.sqrt(D2)
+        D = _pearson_block(windows_A[start:stop], windows_B,
+                           mu_A[start:stop], sig_A[start:stop],
+                           mu_B, sig_B, m)
+        _rho_to_distance_inplace(D, m)
+        # constant-window special cases (core.py:1155-1158); the mask work
+        # is skipped entirely on the common all-non-constant path
+        if any_con:
+            blk_con_A = con_A[start:stop][:, None]
+            D[blk_con_A & con_B[None, :]] = 0.0
+            D[blk_con_A ^ con_B[None, :]] = math.sqrt(m)
+        if not all_fin_A:
+            D[~fin_A[start:stop], :] = np.inf
+        if not all_fin_B:
+            D[:, ~fin_B] = np.inf
 
         rows = np.arange(start, stop)
+        r = np.arange(stop - start)
         if self_join:
-            # band exclusion |j - i| <= ez
-            dist_to_diag = np.abs(cols[None, :] - rows[:, None])
-            Dx = np.where(dist_to_diag <= ez, np.inf, D)
-            # left / right top-1 (stump.py:232-241)
-            left_mask = cols[None, :] < rows[:, None]
-            DL = np.where(left_mask, Dx, np.inf)
-            DR = np.where(~left_mask, Dx, np.inf)
-            jl = np.argmin(DL, axis=1)
-            jr = np.argmin(DR, axis=1)
-            r = np.arange(stop - start)
-            vl = DL[r, jl]
-            vr = DR[r, jr]
+            # band exclusion |j - i| <= ez: narrow per-row slice fills
+            for rr in range(start, stop):
+                D[rr - start, max(0, rr - ez):rr + ez + 1] = np.inf
+        if self_join and compute_left_right:
+            # left / right top-1 (stump.py:232-241) via triangular fills
+            buf = D.copy()
+            for rr in range(start, stop):
+                buf[rr - start, rr:] = np.inf          # keep j < i
+            jl = np.argmin(buf, axis=1)
+            vl = buf[r, jl]
+            buf[:] = D
+            for rr in range(start, stop):
+                buf[rr - start, :rr + 1] = np.inf      # keep j > i
+            jr = np.argmin(buf, axis=1)
+            vr = buf[r, jr]
             PL[rows] = vl
             PR[rows] = vr
             IL[rows] = np.where(np.isfinite(vl), jl, -1)
             IR[rows] = np.where(np.isfinite(vr), jr, -1)
-            D = Dx
         if k == 1:
             j = np.argmin(D, axis=1)
-            r = np.arange(stop - start)
             P[rows, 0] = D[r, j]
             I[rows, 0] = np.where(np.isfinite(D[r, j]), j, -1)
         else:
             kk = min(k, lb)
             part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-            r = np.arange(stop - start)[:, None]
-            vals = D[r, part]
+            vals = D[r[:, None], part]
             order = np.argsort(vals, axis=1, kind="stable")
             vals = np.take_along_axis(vals, order, axis=1)
             idxs = np.take_along_axis(part, order, axis=1)
@@ -441,9 +464,10 @@ def matrix_profile_absolute(
     la = A.shape[0] - m + 1
     lb = B.shape[0] - m + 1
     ez = excl_zone(m) if self_join else -1
-    windows_B = np.lib.stride_tricks.sliding_window_view(Bc, m)
-    windows_A = windows_B if self_join else \
-        np.lib.stride_tricks.sliding_window_view(Ac, m)
+    windows_B = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(Bc, m))
+    windows_A = windows_B if self_join else np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(Ac, m))
 
     P = np.full((la, k), np.inf)
     I = np.full((la, k), -1, dtype=np.int64)

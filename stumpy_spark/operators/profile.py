@@ -125,7 +125,8 @@ def profile_summary(df: DataFrame, m: int, normalize: bool = True,
                 if len(a) < 2 * m:
                     continue
                 if normalize:
-                    P, I, _, _ = kernels.matrix_profile(a, m)
+                    P, I, _, _ = kernels.matrix_profile(
+                        a, m, compute_left_right=False)
                 else:
                     P, I, _, _ = kernels.matrix_profile_absolute(a, m, p=p)
                 p0 = P[:, 0]

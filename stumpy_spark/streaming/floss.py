@@ -1,0 +1,161 @@
+"""Streaming semantic segmentation (FLOSS) and the non-normalized
+incremental profile (aampi).
+
+- :class:`FlossState` — semantics of stumpy/floss.py:306-692: sliding
+  window, one-directional (right) nearest-neighbor profile updated per
+  point, corrected arc curve (CAC_1D) recomputed per update against a
+  seeded simulated idealized arc curve (the reference fits the IAC by
+  simulation too, floss.py:50-116).
+- :class:`AampiState` — stumpy/aampi.py:11-388: the p=2 non-normalized
+  twin of stumpi, O(n) per update via the same diagonal QT recurrence plus
+  rolling sum-of-squares.
+
+Both plug into the same applyInPandasWithState wiring as
+:func:`stumpy_spark.streaming.stumpi.stumpi_stream`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import kernels
+
+
+def iac_1d(width: int, seed: int = 0, reps: int = 10) -> np.ndarray:
+    """Idealized 1-D arc curve by seeded simulation (floss.py:50-116
+    approach): right-NN indices uniform in (i, width), arcs accumulated,
+    averaged over reps."""
+    rs = np.random.RandomState(seed)
+    acc = np.zeros(width)
+    for _ in range(reps):
+        mark = np.zeros(width + 1)
+        for i in range(width - 1):
+            j = rs.randint(i + 1, width)
+            mark[i] += 1
+            mark[j] -= 1
+        acc += np.cumsum(mark[:width])
+    return acc / reps
+
+
+class FlossState:
+    """Streaming right-profile + CAC over a sliding window."""
+
+    def __init__(self, T: np.ndarray, m: int, excl_factor: int = 5,
+                 seed: int = 0):
+        T = np.asarray(T, dtype=np.float64)
+        self.m = m
+        self.n = len(T)
+        self.excl_factor = excl_factor
+        self.T = T.copy()
+        P, I, IL, IR, PL, PR = kernels.matrix_profile(
+            T, m, return_left_right_P=True)
+        self.PR = PR.copy()
+        self.IR = IR.copy()
+        self.QT = kernels.sliding_dot_product(T[-m:], T)
+        self.n_appended = 0
+        l = self.n - m + 1
+        self._iac = iac_1d(l, seed=seed)
+
+    def update(self, t: float) -> None:
+        m, n = self.m, self.n
+        l = n - m + 1
+        T = self.T
+        t_drop = T[n - m]
+        QT_new = np.empty(l)
+        QT_new[:l - 1] = (self.QT[:l - 1] - T[:l - 1] * t_drop
+                          + T[m:n] * t)
+        T[:-1] = T[1:]
+        T[-1] = t
+        QT_new[l - 1] = float(T[-m:] @ T[-m:])
+        self.QT = QT_new
+        self.n_appended += 1
+        self.PR[:-1] = self.PR[1:]
+        self.IR[:-1] = self.IR[1:] - 1
+        _, M_T, Sigma_T, fin, con = kernels.preprocess(T, m)
+        D2 = kernels.squared_distance_profile(
+            self.QT, M_T[-1], Sigma_T[-1], M_T, Sigma_T, m,
+            bool(con[-1]), con, bool(fin[-1]), fin)
+        D = np.sqrt(kernels.snap_to_zero(D2))
+        kernels.apply_exclusion_zone(D, l - 1, np.inf,
+                                     kernels.excl_zone(m))
+        # the new window sits to the RIGHT of every existing one
+        improved = D[:l - 1] < self.PR[:l - 1]
+        self.PR[:l - 1] = np.where(improved, D[:l - 1], self.PR[:l - 1])
+        self.IR[:l - 1] = np.where(improved, l - 1, self.IR[:l - 1])
+        self.PR[l - 1] = np.inf
+        self.IR[l - 1] = -1
+
+    def cac_1d(self) -> np.ndarray:
+        """Corrected (right-)arc curve over the current window."""
+        l = self.n - self.m + 1
+        mark = np.zeros(l + 1)
+        idx = np.arange(l)
+        valid = self.IR >= 0
+        np.add.at(mark, idx[valid], 1)
+        np.add.at(mark, self.IR[valid].astype(np.int64), -1)
+        arcs = np.cumsum(mark[:l])
+        iac = np.where(self._iac <= 0, 1.0, self._iac)
+        out = np.minimum(arcs / iac, 1.0)
+        ez = self.m * self.excl_factor
+        out[:ez] = 1.0
+        out[-ez:] = 1.0
+        return out
+
+
+class AampiState:
+    """Incremental non-normalized (p=2) matrix profile with egress
+    (aampi semantics)."""
+
+    def __init__(self, T: np.ndarray, m: int):
+        T = np.asarray(T, dtype=np.float64)
+        self.m = m
+        self.n = len(T)
+        self.T = T.copy()
+        P, I, _, _ = kernels.matrix_profile_absolute(T, m)
+        self.P = P[:, 0].copy()
+        self.I = I[:, 0].copy()
+        self.QT = kernels.sliding_dot_product(T[-m:], T)
+        cs2 = np.concatenate(([0.0], np.cumsum(T * T)))
+        self.w2 = cs2[m:] - cs2[:-m]          # rolling ||W_i||^2
+        self.n_appended = 0
+
+    def update(self, t: float) -> None:
+        m, n = self.m, self.n
+        l = n - m + 1
+        T = self.T
+        t_drop = T[n - m]
+        QT_new = np.empty(l)
+        QT_new[:l - 1] = (self.QT[:l - 1] - T[:l - 1] * t_drop
+                          + T[m:n] * t)
+        # rolling sum-of-squares slides with the windows
+        w2_new = np.empty(l)
+        w2_new[:l - 1] = self.w2[1:l]
+        T[:-1] = T[1:]
+        T[-1] = t
+        w2_new[l - 1] = float(T[-m:] @ T[-m:])
+        QT_new[l - 1] = w2_new[l - 1]
+        self.QT = QT_new
+        self.w2 = w2_new
+        self.n_appended += 1
+        self.P[:-1] = self.P[1:]
+        self.I[:-1] = self.I[1:] - 1
+        D2 = self.w2 - 2.0 * self.QT + self.w2[l - 1]
+        np.maximum(D2, 0.0, out=D2)
+        D = np.sqrt(D2)
+        fin = kernels.rolling_isfinite(T, m)
+        D[~fin] = np.inf
+        if not fin[-1]:
+            D[:] = np.inf
+        kernels.apply_exclusion_zone(D, l - 1, np.inf,
+                                     kernels.excl_zone(m))
+        improved = D[:l - 1] < self.P[:l - 1]
+        self.P[:l - 1] = np.where(improved, D[:l - 1], self.P[:l - 1])
+        self.I[:l - 1] = np.where(improved, l - 1, self.I[:l - 1])
+        finite = np.isfinite(D)
+        if finite.any():
+            j = int(np.argmin(np.where(finite, D, np.inf)))
+            self.P[l - 1] = D[j]
+            self.I[l - 1] = j
+        else:
+            self.P[l - 1] = np.inf
+            self.I[l - 1] = -1

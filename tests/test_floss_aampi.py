@@ -1,0 +1,94 @@
+"""FLOSS / aampi streaming state tests."""
+
+import numpy as np
+import numpy.testing as npt
+
+import naive_oracle as naive
+from stumpy_spark import kernels
+from stumpy_spark.streaming.floss import AampiState, FlossState
+
+PRECISION = 5
+
+
+class NaiveAampiEgress:
+    def __init__(self, T, m):
+        self.m = m
+        self.T = np.asarray(T, dtype=np.float64).copy()
+        P, I, _, _ = naive.stump(self.T, m, normalize=False)
+        self.P = P[:, 0].copy()
+        self.I = I[:, 0].copy()
+
+    def update(self, t):
+        m = self.m
+        self.T = np.append(self.T[1:], t)
+        l = len(self.T) - m + 1
+        Q = self.T[-m:]
+        D = np.array([naive.pnorm_dist(Q, self.T[j:j + m])
+                      for j in range(l)])
+        ez = naive.excl_zone(m)
+        D[max(0, l - 1 - ez):] = np.inf
+        self.P[:-1] = self.P[1:]
+        self.I[:-1] = self.I[1:] - 1
+        improved = D[:l - 1] < self.P[:l - 1]
+        self.P[:l - 1] = np.where(improved, D[:l - 1], self.P[:l - 1])
+        self.I[:l - 1] = np.where(improved, l - 1, self.I[:l - 1])
+        if np.isfinite(D).any():
+            j = int(np.argmin(np.where(np.isfinite(D), D, np.inf)))
+            self.P[-1] = D[j]
+            self.I[-1] = j
+        else:
+            self.P[-1] = np.inf
+            self.I[-1] = -1
+
+
+def test_aampi_matches_incremental_oracle():
+    rs = np.random.RandomState(5)
+    T0 = rs.uniform(-100, 100, 40)
+    st = AampiState(T0, 5)
+    ora = NaiveAampiEgress(T0, 5)
+    for step, t in enumerate(rs.uniform(-100, 100, 60)):
+        st.update(t)
+        ora.update(t)
+        npt.assert_almost_equal(ora.P, st.P, decimal=PRECISION,
+                                err_msg=f"step {step}")
+        npt.assert_array_equal(ora.I, st.I, err_msg=f"step {step}")
+
+
+def test_floss_right_profile_correct():
+    """After updates, PR/IR equal the incremental right-NN oracle."""
+    rs = np.random.RandomState(9)
+    T0 = rs.uniform(-100, 100, 40)
+    m = 5
+    st = FlossState(T0, m)
+    # oracle: incremental right profile
+    T = T0.copy()
+    PR = kernels.matrix_profile(T, m, return_left_right_P=True)[5].copy()
+    IR = kernels.matrix_profile(T, m)[3].copy()
+    for t in rs.uniform(-100, 100, 30):
+        T = np.append(T[1:], t)
+        l = len(T) - m + 1
+        D = naive.mass(T[-m:], T, query_idx=l - 1)
+        PR = np.append(PR[1:], np.inf)
+        IR = np.append(IR[1:] - 1, -1)
+        improved = D[:l - 1] < PR[:l - 1]
+        PR[:l - 1] = np.where(improved, D[:l - 1], PR[:l - 1])
+        IR[:l - 1] = np.where(improved, l - 1, IR[:l - 1])
+        st.update(t)
+    npt.assert_almost_equal(PR, st.PR, decimal=PRECISION)
+    npt.assert_array_equal(IR, st.IR)
+
+
+def test_floss_cac_detects_regime_change():
+    rs = np.random.RandomState(3)
+    m = 8
+    # start with pure sine regime, stream in a noise regime
+    t = np.arange(200, dtype=np.float64)
+    sine = np.sin(2 * np.pi * t / 16) * 100 + rs.normal(0, 0.5, 200)
+    st = FlossState(sine, m, excl_factor=2)
+    cac_before = st.cac_1d()
+    for v in rs.uniform(-100, 100, 100):
+        st.update(v)
+    cac_after = st.cac_1d()
+    # a regime boundary inside the window → CAC dips well below 1
+    assert cac_after.min() < 0.4
+    assert cac_after.min() <= cac_before.min() + 1e-9
