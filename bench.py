@@ -23,6 +23,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Pin BLAS to one thread per Python worker: Spark tasks are the unit of
+# parallelism; nested OpenBLAS threading oversubscribes the box and — worse
+# for scaling measurements — lets a local[8] run secretly use all cores.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[_v] = "1"
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 M = 25
@@ -47,7 +53,13 @@ def _queries(spark, sf_dir: str):
     def q_rollup_cascade():
         raw = RT.per_sequence_stats_fused(df, m=M)
         tiers = RT.cascade(raw)
-        return sum(t.count() for t in tiers.values())
+        # cache the small 1m tier so 1h/1d re-aggregate it instead of
+        # re-running the kernel scan (the cascade contract)
+        tiers["1m"].cache()
+        try:
+            return sum(t.count() for t in tiers.values())
+        finally:
+            tiers["1m"].unpersist()
 
     def q_gapfill_1h():
         raw = RT.per_sequence_stats_fused(df, m=M)
@@ -108,18 +120,26 @@ def run_once(cpus: int, sf_dir: str) -> dict:
 
 
 def _rollup_only(cpus: int, sf_dir: str) -> dict:
-    """Single rollup-cascade job (used by --scaling subprocesses)."""
+    """Single full-rollup job (used by --scaling subprocesses).
+
+    This is the north-star workload: per-sequence sliding mean/std +
+    top-1 matrix-profile kernels feeding the 1m→1h→1d tier cascade.  The
+    input is repartitioned so the kernel stage has 4 tasks per core —
+    the same shape a 1000-executor run would use.
+    """
     spark = _spark(cpus)
     try:
         from stumpy_spark.rollup import tiers as RT
         from stumpy_spark.sources.tokseq import (ensure_tokseq, n_docs_for,
                                                  read_tokseq)
         ensure_tokseq(spark, sf_dir)
-        df = read_tokseq(spark, sf_dir)
+        df = read_tokseq(spark, sf_dir).repartition(cpus * 4)
         t0 = time.time()
-        raw = RT.per_sequence_stats_fused(df, m=M)
+        raw = RT.per_sequence_stats_fused(df, m=M, include_profile=True)
         tiers = RT.cascade(raw)
+        tiers["1m"].cache()
         rows = sum(t.count() for t in tiers.values())
+        tiers["1m"].unpersist()
         wall = time.time() - t0
         return {"cpus": cpus, "wall_sec": round(wall, 3),
                 "rows": rows,

@@ -49,6 +49,22 @@ _AGGS = [
     ("max_mean", lambda: F.max("max_mean"), lambda c: F.max(c)),
 ]
 
+#: optional kernel-profile aggregates (present when the raw tier was built
+#: with include_profile=True)
+_OPT_AGGS = [
+    ("min_p", lambda: F.min("min_p"), lambda c: F.min(c)),
+    ("max_p", lambda: F.max("max_p"), lambda c: F.max(c)),
+]
+
+
+def _aggs_for(df: DataFrame):
+    aggs = list(_AGGS)
+    cols = set(df.columns)
+    for spec in _OPT_AGGS:
+        if spec[0] in cols:
+            aggs.append(spec)
+    return aggs
+
 
 def per_sequence_stats(df: DataFrame, m: int = 25) -> DataFrame:
     """Raw tier: tokseq rows joined with their sliding-stat summaries.
@@ -64,11 +80,18 @@ def per_sequence_stats(df: DataFrame, m: int = 25) -> DataFrame:
     return base.join(stats.drop("n_windows"), "doc_id")
 
 
-def per_sequence_stats_fused(df: DataFrame, m: int = 25) -> DataFrame:
+def per_sequence_stats_fused(df: DataFrame, m: int = 25,
+                             include_profile: bool = False) -> DataFrame:
     """Zero-shuffle raw tier: carry source/event_ts through the kernel UDF.
 
     Equivalent to :func:`per_sequence_stats` but emits the combined row in
     one mapInPandas pass — the 100 TB-scale default (no join, no shuffle).
+
+    ``include_profile=True`` additionally computes the top-1 matrix-profile
+    min/max per sequence (FIXTURES.md F3's per-sequence kernel outputs) —
+    the MASS-style windowed-kernel component of the north star.  It's the
+    compute-heavy path used by the scaling benchmark; the cheap variant is
+    what the SQL-oracle-checked rollup queries use.
     """
     from collections.abc import Iterator
 
@@ -76,7 +99,9 @@ def per_sequence_stats_fused(df: DataFrame, m: int = 25) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    schema = T.StructType([
+    from .. import kernels
+
+    fields = [
         T.StructField("doc_id", T.StringType()),
         T.StructField("source", T.StringType()),
         T.StructField("event_ts", T.TimestampType()),
@@ -86,7 +111,11 @@ def per_sequence_stats_fused(df: DataFrame, m: int = 25) -> DataFrame:
         T.StructField("max_mean", T.DoubleType()),
         T.StructField("min_std", T.DoubleType()),
         T.StructField("max_std", T.DoubleType()),
-    ])
+    ]
+    if include_profile:
+        fields += [T.StructField("min_p", T.DoubleType()),
+                   T.StructField("max_p", T.DoubleType())]
+    schema = T.StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -98,6 +127,8 @@ def per_sequence_stats_fused(df: DataFrame, m: int = 25) -> DataFrame:
             maxs = np.full(n, np.nan)
             minstd = np.full(n, np.nan)
             maxstd = np.full(n, np.nan)
+            minp = np.full(n, np.nan)
+            maxp = np.full(n, np.nan)
             for r, toks in enumerate(pdf["tokens"].to_numpy()):
                 t = np.asarray(toks, dtype=np.int64)
                 if len(t) < m:
@@ -115,13 +146,24 @@ def per_sequence_stats_fused(df: DataFrame, m: int = 25) -> DataFrame:
                 maxs[r] = mean.max()
                 minstd[r] = std.min()
                 maxstd[r] = std.max()
+                if include_profile and len(t) >= 2 * m:
+                    P = kernels.matrix_profile(
+                        t.astype(np.float64), m,
+                        compute_left_right=False)[0][:, 0]
+                    finite = np.isfinite(P)
+                    if finite.any():
+                        minp[r] = P[finite].min()
+                        maxp[r] = P[finite].max()
             out = pdf[["doc_id", "source", "event_ts", "n_tok"]].copy()
             out["sum_window_sums"] = sws
             # short sequences (n < m) must yield NULL, not NaN: Spark's
             # min/max treat NaN as the largest double (poisoning max),
             # while NULLs are skipped — and the SQL oracle yields NULL
-            for col, arr in (("min_mean", mins), ("max_mean", maxs),
-                             ("min_std", minstd), ("max_std", maxstd)):
+            stat_cols = [("min_mean", mins), ("max_mean", maxs),
+                         ("min_std", minstd), ("max_std", maxstd)]
+            if include_profile:
+                stat_cols += [("min_p", minp), ("max_p", maxp)]
+            for col, arr in stat_cols:
                 out[col] = pd.array(arr, dtype="Float64")
                 out.loc[np.isnan(arr), col] = pd.NA
             yield out
@@ -140,13 +182,14 @@ def rollup_tier(raw: DataFrame, tier: str,
     hot-key sources when a single group exceeds one reducer.
     """
     bucket = F.date_trunc(_TRUNC[tier], F.col("event_ts")).alias("bucket")
-    aggs = [a[1]().alias(a[0]) for a in _AGGS]
+    specs = _aggs_for(raw)
+    aggs = [a[1]().alias(a[0]) for a in specs]
     if salt_buckets > 0:
         salt = (F.crc32(F.col("doc_id")) % salt_buckets).alias("_salt")
         partial = (raw.groupBy(F.col("source"), bucket, salt)
                    .agg(*aggs))
         return (partial.groupBy("source", "bucket")
-                .agg(*[a[2](F.col(a[0])).alias(a[0]) for a in _AGGS]))
+                .agg(*[a[2](F.col(a[0])).alias(a[0]) for a in specs]))
     return raw.groupBy(F.col("source"), bucket).agg(*aggs)
 
 
@@ -154,7 +197,7 @@ def rollup_from_previous(prev: DataFrame, tier: str) -> DataFrame:
     """Re-aggregate tier N-1 into tier N (the cascade contract)."""
     bucket = F.date_trunc(_TRUNC[tier], F.col("bucket")).alias("bucket")
     return (prev.groupBy(F.col("source"), bucket)
-            .agg(*[a[2](F.col(a[0])).alias(a[0]) for a in _AGGS]))
+            .agg(*[a[2](F.col(a[0])).alias(a[0]) for a in _aggs_for(prev)]))
 
 
 def cascade(raw: DataFrame, salt_buckets: int = 0) -> dict[str, DataFrame]:

@@ -15,6 +15,11 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "stumpy-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    # one BLAS thread per Python worker — Spark tasks are the parallelism
+    # unit; nested BLAS threading oversubscribes executors
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+              "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -29,6 +34,10 @@ def get_spark(app_name: str = "stumpy-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # split small parquet inputs into enough scan partitions that
+        # CPU-heavy kernel stages can use every core (default 128 MB
+        # buckets collapse a 300 MB table into ~3 tasks)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.serializer",
