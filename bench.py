@@ -133,7 +133,10 @@ def _rollup_only(cpus: int, sf_dir: str) -> dict:
         from stumpy_spark.sources.tokseq import (ensure_tokseq, n_docs_for,
                                                  read_tokseq)
         ensure_tokseq(spark, sf_dir)
-        df = read_tokseq(spark, sf_dir).repartition(cpus * 4)
+        # fixed partition count at every parallelism level: identical work
+        # decomposition, only the executor-slot count varies (what a real
+        # N-executor vs 4N-executor comparison holds constant)
+        df = read_tokseq(spark, sf_dir).repartition(256)
         t0 = time.time()
         raw = RT.per_sequence_stats_fused(df, m=M, include_profile=True)
         tiers = RT.cascade(raw)

@@ -304,6 +304,93 @@ def _rho_to_distance_inplace(rho, m):
     return rho
 
 
+
+
+def _mp_top1_blocked(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
+                     con_A, con_B, fin_A, fin_B, any_con, all_fin_A,
+                     all_fin_B, self_join, ez, compute_left_right,
+                     P, I, IL, IR, PL, PR,
+                     br: int = 128, bc: int = 256):
+    """Top-1 matrix profile over (br × bc) cache-resident tiles with
+    running per-row minima (and left/right minima for self-joins)."""
+    la = windows_A.shape[0]
+    lb = windows_B.shape[0]
+    if la * lb <= 262144:
+        # whole matrix fits in ~2 MB: one tile, no blocking overhead
+        br, bc = la, lb
+    for r0 in range(0, la, br):
+        r1 = min(r0 + br, la)
+        nr = r1 - r0
+        rr = np.arange(nr)
+        rows_abs = np.arange(r0, r1)
+        best_p = np.full(nr, np.inf)
+        best_j = np.full(nr, -1, dtype=np.int64)
+        bl_p = np.full(nr, np.inf)
+        bl_j = np.full(nr, -1, dtype=np.int64)
+        br_p = np.full(nr, np.inf)
+        br_j = np.full(nr, -1, dtype=np.int64)
+        for c0 in range(0, lb, bc):
+            c1 = min(c0 + bc, lb)
+            D = _pearson_block(windows_A[r0:r1], windows_B[c0:c1],
+                               mu_A[r0:r1], sig_A[r0:r1],
+                               mu_B[c0:c1], sig_B[c0:c1], m)
+            _rho_to_distance_inplace(D, m)
+            if any_con:
+                ca = con_A[r0:r1][:, None]
+                cb = con_B[c0:c1][None, :]
+                D[ca & cb] = 0.0
+                D[ca ^ cb] = math.sqrt(m)
+            if not all_fin_A:
+                D[~fin_A[r0:r1], :] = np.inf
+            if not all_fin_B:
+                D[:, ~fin_B[c0:c1]] = np.inf
+            if self_join and c0 - ez <= r1 and r0 - ez <= c1:
+                for ra in range(r0, r1):
+                    lo = max(c0, ra - ez) - c0
+                    hi = min(c1, ra + ez + 1) - c0
+                    if lo < hi:
+                        D[ra - r0, lo:hi] = np.inf
+            j = np.argmin(D, axis=1)
+            v = D[rr, j]
+            upd = v < best_p
+            best_p[upd] = v[upd]
+            best_j[upd] = j[upd] + c0
+            if self_join and compute_left_right:
+                if c1 <= r0:                     # tile fully left
+                    upd = v < bl_p
+                    bl_p[upd] = v[upd]
+                    bl_j[upd] = j[upd] + c0
+                elif c0 > r1 - 1:                # tile fully right
+                    upd = v < br_p
+                    br_p[upd] = v[upd]
+                    br_j[upd] = j[upd] + c0
+                else:                            # diagonal tile: split
+                    buf = D.copy()
+                    for ra in range(r0, r1):
+                        lo = max(0, ra - c0)
+                        buf[ra - r0, lo:] = np.inf
+                    jl = np.argmin(buf, axis=1)
+                    vl = buf[rr, jl]
+                    upd = vl < bl_p
+                    bl_p[upd] = vl[upd]
+                    bl_j[upd] = jl[upd] + c0
+                    buf[:] = D
+                    for ra in range(r0, r1):
+                        hi = min(buf.shape[1], ra - c0 + 1)
+                        if hi > 0:
+                            buf[ra - r0, :hi] = np.inf
+                    jr = np.argmin(buf, axis=1)
+                    vr = buf[rr, jr]
+                    upd = vr < br_p
+                    br_p[upd] = vr[upd]
+                    br_j[upd] = jr[upd] + c0
+        P[rows_abs, 0] = best_p
+        I[rows_abs, 0] = np.where(np.isfinite(best_p), best_j, -1)
+        if self_join and compute_left_right:
+            PL[rows_abs] = bl_p
+            PR[rows_abs] = br_p
+            IL[rows_abs] = np.where(np.isfinite(bl_p), bl_j, -1)
+            IR[rows_abs] = np.where(np.isfinite(br_p), br_j, -1)
 def matrix_profile(
     T_A: np.ndarray,
     m: int,
@@ -354,6 +441,17 @@ def matrix_profile(
     any_con = bool(con_A.any()) or bool(con_B.any())
     all_fin_A = bool(fin_A.all())
     all_fin_B = bool(fin_B.all())
+    if k == 1:
+        # cache-blocked fast path: 2-D tiles sized to stay in L2/L3 so the
+        # elementwise rho→distance passes don't stream DRAM (the full-width
+        # row-block variant is memory-bandwidth-bound at high core counts)
+        _mp_top1_blocked(
+            windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
+            con_A, con_B, fin_A, fin_B, any_con, all_fin_A, all_fin_B,
+            self_join, ez, compute_left_right, P, I, IL, IR, PL, PR)
+        if return_left_right_P:
+            return P, I, IL, IR, PL, PR
+        return P, I, IL, IR
     for start in range(0, la, block_rows):
         stop = min(start + block_rows, la)
         D = _pearson_block(windows_A[start:stop], windows_B,

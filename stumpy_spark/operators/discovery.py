@@ -249,3 +249,87 @@ def stimp(df: DataFrame, m_values: list[int], id_col: str = "doc_id",
 
     return df.select(id_col, tokens_col).mapInPandas(
         run, schema=_STIMP_SCHEMA)
+
+
+_MSTUMP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("kdim", T.IntegerType()),
+    T.StructField("min_p", T.DoubleType()),
+    T.StructField("motif_i", T.LongType()),
+    T.StructField("motif_j", T.LongType()),
+])
+
+
+def mstump(df: DataFrame, m: int, id_col: str = "doc_id",
+           dims_col: str = "dims") -> DataFrame:
+    """Multi-dimensional matrix profile per sequence.
+
+    ``dims_col`` holds array<array<double>> — rows are dimensions
+    (mstump.py:1114-1287 semantics).  Emits, per dimensionality level k,
+    the k-dim motif (min profile value + positions).
+    """
+    from ..anytime import multi_matrix_profile
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, dims in zip(pdf[id_col], pdf[dims_col]):
+                Ts = np.asarray([np.asarray(d, dtype=np.float64)
+                                 for d in dims])
+                if Ts.ndim != 2 or Ts.shape[1] < 2 * m:
+                    continue
+                P, I = multi_matrix_profile(Ts, m)
+                for kdim in range(P.shape[0]):
+                    finite = np.isfinite(P[kdim])
+                    if not finite.any():
+                        continue
+                    mi = int(np.argmin(np.where(finite, P[kdim], np.inf)))
+                    rows.append((did, kdim + 1, float(P[kdim, mi]), mi,
+                                 int(I[kdim, mi])))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "kdim", "min_p", "motif_i", "motif_j"])
+
+    return df.select(id_col, dims_col).mapInPandas(
+        run, schema=_MSTUMP_SCHEMA)
+
+
+_SCRUMP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_windows", T.IntegerType()),
+    T.StructField("approx_min_p", T.DoubleType()),
+    T.StructField("approx_motif_i", T.LongType()),
+])
+
+
+def scrump(df: DataFrame, m: int, percentage: float = 0.1,
+           pre_scrump: bool = True, rounds: int = 1,
+           id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+    """Anytime approximate matrix profile summary (SCRIMP++ semantics):
+    each sequence processes ``rounds`` random diagonal subsets of size
+    ``percentage`` — the cheap preview tier for rollup pipelines."""
+    from ..anytime import Scrump
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf[id_col], pdf[tokens_col]):
+                a = np.asarray(toks, dtype=np.float64)
+                if len(a) < 2 * m:
+                    continue
+                sc = Scrump(a, m, percentage=percentage,
+                            pre_scrump=pre_scrump)
+                for _ in range(rounds):
+                    sc.update()
+                finite = np.isfinite(sc.P_)
+                if not finite.any():
+                    continue
+                mi = int(np.argmin(np.where(finite, sc.P_, np.inf)))
+                rows.append((did, len(sc.P_), float(sc.P_[mi]), mi))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "n_windows", "approx_min_p",
+                    "approx_motif_i"])
+
+    return df.select(id_col, tokens_col).mapInPandas(
+        run, schema=_SCRUMP_SCHEMA)

@@ -99,3 +99,35 @@ def test_stimp_operator(spark, seq_df):
             row = res[(res.doc_id == did) & (res.m == m)].iloc[0]
             np.testing.assert_almost_equal(row.min_p, finite.min(),
                                            decimal=5)
+
+
+def test_mstump_operator(spark):
+    rs = np.random.RandomState(21)
+    rows = []
+    for i in range(3):
+        dims = rs.uniform(-100, 100, (3, 50))
+        rows.append((f"md{i}", [list(d) for d in dims]))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "dims"])
+    res = D.mstump(spark.createDataFrame(pdf), 5).toPandas()
+    assert set(res.kdim) == {1, 2, 3}
+    from stumpy_spark.anytime import multi_matrix_profile
+    for did, dims in rows:
+        Ts = np.asarray(dims)
+        P, I = multi_matrix_profile(Ts, 5)
+        for kdim in range(3):
+            row = res[(res.doc_id == did) & (res.kdim == kdim + 1)].iloc[0]
+            np.testing.assert_almost_equal(row.min_p, P[kdim].min(),
+                                           decimal=5)
+
+
+def test_scrump_operator(spark, seq_df):
+    df, raw = seq_df
+    res = D.scrump(df, 8, percentage=1.0, pre_scrump=False,
+                   rounds=1).toPandas()
+    # percentage=1.0 + 1 round == exact
+    from stumpy_spark import kernels
+    for did, T in raw.items():
+        P = kernels.matrix_profile(T, 8)[0][:, 0]
+        row = res[res.doc_id == did].iloc[0]
+        np.testing.assert_almost_equal(row.approx_min_p,
+                                       P[np.isfinite(P)].min(), decimal=5)
