@@ -1,10 +1,49 @@
 """stumpy_spark — a from-scratch PySpark-native time-series rollup +
 matrix-profile engine with the query capabilities of TDAmeritrade/stumpy.
 
-Public API mirrors the reference's surface (docs/api.rst:12-40) but takes
-DataFrames of sequences instead of single ndarrays; see SURVEY.md §2.11.
+Public API coverage vs the reference (docs/api.rst:12-40; SURVEY.md §2.11).
+DataFrame operators take a DataFrame of sequences; numpy kernels take
+arrays (they are what the Arrow UDFs close over, and serve the
+single-series use directly):
+
+==================  =====================================================
+reference name      here
+==================  =====================================================
+stump / stumped     operators.stump (per-sequence, distributed by rows);
+                    plans.longseq.distributed_matrix_profile (one long
+                    series tiled across executors — the stumped analog);
+                    kernels.matrix_profile (in-task kernel)
+aamp / aamped       operators.aamp / kernels.matrix_profile_absolute
+mass/mass_absolute  operators.mass / kernels.mass, kernels.mass_absolute
+stumpi / aampi      streaming.StumpiState / streaming.floss.AampiState
+                    (+ streaming.stumpi_stream Structured-Streaming
+                    wiring; egress=True semantics)
+scrump/prescrump    anytime.Scrump / anytime.prescrump;
+(scraamp twins)     operators.discovery.scrump (DataFrame)
+mstump / mstumped   anytime.multi_matrix_profile;
+                    operators.discovery.mstump (DataFrame)
+subspace / mdl      anytime.subspace / anytime.mdl
+motifs / match      mining.motifs / mining.match;
+                    operators.discovery.motifs (DataFrame)
+mmotifs             anytime.mmotifs
+mpdist / mpdisted   mining.mpdist; operators.discovery.mpdist_pairs
+(aampdist)          (mining.mpdist(normalize=False))
+fluss / floss       mining.fluss (cac/rea); operators.discovery.fluss;
+                    streaming.floss.FlossState (streaming)
+ostinato(ed)        mining.ostinato; operators.discovery.ostinato
+snippets            mining.snippets; operators.discovery.snippets
+atsc / allc         mining.atsc / mining.allc;
+                    operators.discovery.longest_chain
+stimp / stimped     mining.stimp_pan (+ bfs order);
+                    operators.discovery.stimp
+gpu_*               out of scope (CPU Spark); the GPU tiling pattern is
+                    plans.longseq's tile decomposition
+==================  =====================================================
+
+``normalize=False`` reroutes every normalized op to its p-norm twin as a
+parameter (the reference's @non_normalized decorator, core.py:72-152).
 """
 
-from . import config, kernels  # noqa: F401
+from . import anytime, config, kernels, mining  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -191,3 +191,76 @@ def subspace(Ts, m: int, idx: int, nn_idx: int, k: int):
         bz = (b - b.mean()) / sb
         dists[dim] = np.sqrt(np.sum((az - bz) ** 2))
     return np.argsort(dists, kind="stable")[:k + 1]
+
+
+def _discretize(a: np.ndarray, bits: int = 8) -> np.ndarray:
+    """Uniform discretization (mstump.py:265-291 semantics)."""
+    amin, amax = a.min(), a.max()
+    rng = amax - amin
+    if rng == 0:
+        return np.zeros(a.shape, dtype=np.int64)
+    return np.floor((a - amin) / rng * (2 ** bits - 1)).astype(np.int64)
+
+
+def mdl(Ts, m: int, subseq_idx: np.ndarray, nn_idx: np.ndarray,
+        bits: int = 8):
+    """Minimum description length over dimensionality levels
+    (mstump.py:292-441 / core.py:4011-4042 semantics).
+
+    For each k (number of dimensions used), the bit cost of encoding the
+    k best-aligned dimensions of the subsequence at ``subseq_idx[k]``
+    relative to its neighbor at ``nn_idx[k]``.  Returns (bit_sizes,
+    subspaces).
+    """
+    Ts = np.asarray(Ts, dtype=np.float64)
+    d = Ts.shape[0]
+    bit_sizes = np.empty(d)
+    subspaces = []
+    for k in range(d):
+        dims = subspace(Ts, m, int(subseq_idx[k]), int(nn_idx[k]), k)
+        subspaces.append(dims)
+        sub = _discretize(
+            np.vstack([Ts[dim, subseq_idx[k]:subseq_idx[k] + m]
+                       for dim in dims]), bits)
+        neigh = _discretize(
+            np.vstack([Ts[dim, nn_idx[k]:nn_idx[k] + m]
+                       for dim in dims]), bits)
+        diff = sub - neigh
+        n_unique = max(len(np.unique(diff)), 1)
+        # description length: residual entropy + dictionary cost
+        bit_sizes[k] = ((k + 1) * m * np.log2(n_unique)
+                        + n_unique * bits)
+    return bit_sizes, subspaces
+
+
+def mmotifs(Ts, m: int, max_motifs: int = 1):
+    """Multi-dimensional motif discovery (mmotifs.py:22-265 semantics,
+    simplified to the default parameters): find the motif pair on the
+    MDL-optimal dimensionality, apply exclusion, repeat.
+
+    Returns list of (motif_idx, nn_idx, kdim, subspace_dims).
+    """
+    Ts = np.asarray(Ts, dtype=np.float64)
+    d, n = Ts.shape
+    P, I = multi_matrix_profile(Ts, m)
+    P = P.copy()
+    ez = kernels.excl_zone(m)
+    out = []
+    for _ in range(max_motifs):
+        motif_idx = np.argmin(P, axis=1)
+        motif_val = P[np.arange(d), motif_idx]
+        if not np.isfinite(motif_val).any():
+            break
+        nn_idx = I[np.arange(d), motif_idx]
+        bit_sizes, subspaces = mdl(Ts, m, motif_idx, nn_idx)
+        k = int(np.argmin(bit_sizes))
+        if not np.isfinite(P[k, motif_idx[k]]):
+            break
+        out.append((int(motif_idx[k]), int(nn_idx[k]), k + 1,
+                    [int(x) for x in subspaces[k]]))
+        for kk in range(d):
+            kernels.apply_exclusion_zone(P[kk], int(motif_idx[k]),
+                                         np.inf, ez)
+            kernels.apply_exclusion_zone(P[kk], int(nn_idx[k]),
+                                         np.inf, ez)
+    return out

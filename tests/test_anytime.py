@@ -98,3 +98,19 @@ def test_subspace():
         Ts[dim, 40:46] = pat
     dims = subspace(Ts, m, 10, 40, k=1)
     assert set(dims) == {0, 2}
+
+
+def test_mdl_and_mmotifs():
+    rs = np.random.RandomState(29)
+    Ts = rs.uniform(-100, 100, (4, 80))
+    m = 6
+    pat = rs.uniform(-100, 100, m)
+    for dim in (0, 2):
+        Ts[dim, 10:16] = pat
+        Ts[dim, 50:56] = pat + rs.normal(0, 0.001, m)
+    from stumpy_spark.anytime import mmotifs
+    res = mmotifs(Ts, m, max_motifs=1)
+    assert len(res) == 1
+    motif_idx, nn_idx, kdim, dims = res[0]
+    assert {motif_idx, nn_idx} == {10, 50}
+    assert set(dims) <= {0, 2}

@@ -84,8 +84,13 @@ def test_profile_summary(spark, seq_df):
         npt.assert_almost_equal(row.min_p, p0.min(), decimal=PRECISION)
         npt.assert_almost_equal(row.max_p, p0[np.isfinite(p0)].max(),
                                 decimal=PRECISION)
-        assert row.motif_i == int(np.argmin(p0))
-        assert row.motif_j == ref_I[int(np.argmin(p0)), 0]
+        # a motif pair (i, j) ties exactly (P[i] == P[j]); either member
+        # may win the global argmin depending on fp rounding order
+        near_min = set(np.nonzero(p0 <= p0.min() + 1e-5)[0])
+        assert int(row.motif_i) in near_min
+        npt.assert_almost_equal(p0[int(row.motif_i)], p0.min(),
+                                decimal=PRECISION)
+        assert ref_I[int(row.motif_i), 0] == row.motif_j
 
 
 def test_sliding_stats_exact(spark, seq_df):
