@@ -132,6 +132,50 @@ def _q_mass_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_d", F.col("min_idx").cast("long").alias("min_idx"), "max_d")
 
 
+def _q_rollup_1h_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as rollup_1h but through the two-stage salted
+    aggregation path (hot-source handling) — same oracle proves it."""
+    from stumpy_spark.rollup import tiers as RT
+    raw = RT.per_sequence_stats_fused(_tokseq(spark, sf_dir), m=M_DEFAULT)
+    t = RT.rollup_tier(raw, "1h", salt_buckets=8)
+    return t.select(
+        "source", F.col("bucket").cast("string").alias("bucket"),
+        F.col("n_seq").cast("long").alias("n_seq"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+        F.col("min_n_tok").cast("long").alias("min_n_tok"),
+        F.col("max_n_tok").cast("long").alias("max_n_tok"),
+        F.col("sum_window_sums").cast("long").alias("sum_window_sums"),
+        "min_mean", "max_mean")
+
+
+def _q_stump_m8_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-normalized top-1 matrix profile (the flagship stump semantics)
+    on short docs, SQL-oracle-checked: with m = 8 every float op in the
+    Pearson-path distance formula is bit-exact cross-engine (window sums
+    are exact ints; /8 and mu^2 are exact in binary)."""
+    from stumpy_spark.operators import stump
+    df = _tokseq(spark, sf_dir).where(
+        (F.col("n_tok") >= 16) & (F.col("n_tok") <= 64))
+    prof = stump(df, 8)
+    p0 = F.col("P")[0]
+    return (prof.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_windows"),
+                 F.min(p0).alias("min_p"),
+                 F.max(p0).alias("max_p")))
+
+
+def _q_mass_q8_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stumpy_spark.operators import mass
+    df = _tokseq(spark, sf_dir)
+    q_row = (df.where(F.col("doc_id") == "doc00000000")
+             .select(F.slice("tokens", 1, 8).alias("q")).first())
+    Q = [float(x) for x in q_row.q]
+    res = mass(df, Q, normalize=True)
+    return res.select(
+        "doc_id", F.col("n_windows").cast("long").alias("n_windows"),
+        "min_d", "max_d")
+
+
 def _q_events_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (ev.groupBy("event_type",
@@ -247,7 +291,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_stats_m25": _q_sliding_stats,
     "distinct_tokens_1d": _q_distinct_tokens_1d,
     "aamp_m3_short": _q_aamp_m3_short,
+    "stump_m8_short": _q_stump_m8_short,
     "mass_q8": _q_mass_q8,
+    "mass_q8_znorm": _q_mass_q8_znorm,
+    "rollup_1h_salted": _q_rollup_1h_salted,
     "events_rollup_1h": _q_events_rollup_1h,
     "dedup_exact": _q_dedup_exact,
     "text_stats": _q_text_stats,
@@ -336,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "rollup_1m": _rollup_sql("minute", glob),
         "rollup_1h": _rollup_sql("hour", glob),
+        "rollup_1h_salted": _rollup_sql("hour", glob),
         "rollup_1d": _rollup_sql("day", glob),
         "gapfill_1h": f"""
 WITH {_PERDOC_CTE.format(glob=glob, m=m, m_minus_1=m - 1)},
@@ -403,6 +451,127 @@ prof AS (
 SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
        MIN(p) AS min_p, MAX(p) AS max_p
 FROM prof GROUP BY doc_id
+""",
+        "stump_m8_short": f"""
+WITH tok AS (
+    SELECT doc_id, n_tok, g.i AS pos, CAST(tokens[g.i] AS BIGINT) AS t
+    FROM read_parquet('{glob}') tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+    WHERE n_tok BETWEEN 16 AND 64
+),
+w AS (
+    SELECT doc_id, pos, t AS t0,
+           lead(t, 1) OVER dw AS t1, lead(t, 2) OVER dw AS t2,
+           lead(t, 3) OVER dw AS t3, lead(t, 4) OVER dw AS t4,
+           lead(t, 5) OVER dw AS t5, lead(t, 6) OVER dw AS t6,
+           lead(t, 7) OVER dw AS t7
+    FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+wf AS (
+    SELECT doc_id, pos,
+           t0, t1, t2, t3, t4, t5, t6, t7,
+           (t0+t1+t2+t3+t4+t5+t6+t7) AS ws,
+           (t0*t0+t1*t1+t2*t2+t3*t3+t4*t4+t5*t5+t6*t6+t7*t7) AS ws2
+    FROM w WHERE t7 IS NOT NULL
+),
+stats AS (
+    SELECT *, CAST(ws AS DOUBLE)/8 AS mu,
+           sqrt(greatest(CAST(ws2 AS DOUBLE)/8
+                - (CAST(ws AS DOUBLE)/8)*(CAST(ws AS DOUBLE)/8), 0.0))
+               AS sig
+    FROM wf
+),
+pairs AS (
+    SELECT a.doc_id, a.pos AS i,
+           CAST(a.t0*b.t0 + a.t1*b.t1 + a.t2*b.t2 + a.t3*b.t3
+              + a.t4*b.t4 + a.t5*b.t5 + a.t6*b.t6 + a.t7*b.t7
+              AS DOUBLE) AS qt,
+           a.mu AS mu_a, b.mu AS mu_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM stats a JOIN stats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+dists AS (
+    SELECT doc_id, i,
+           sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+    FROM (
+        SELECT doc_id, i,
+               abs((least((qt - (8*mu_a)*mu_b)
+                    / greatest((8*sig_a)*sig_b, 1e-14), 1.0)
+                    - 1.0) * -16.0) AS d2
+        FROM pairs)
+),
+prof AS (SELECT doc_id, i, MIN(d) AS p FROM dists GROUP BY doc_id, i)
+SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+       MIN(p) AS min_p, MAX(p) AS max_p
+FROM prof GROUP BY doc_id
+""",
+        "mass_q8_znorm": f"""
+WITH q AS (
+    SELECT CAST(tokens[1:8] AS BIGINT[]) AS qt
+    FROM read_parquet('{glob}') WHERE doc_id = 'doc00000000'
+),
+qstats AS (
+    SELECT qt,
+           CAST(qt[1]+qt[2]+qt[3]+qt[4]+qt[5]+qt[6]+qt[7]+qt[8]
+                AS DOUBLE)/8 AS mu_q
+    FROM q
+),
+qstats2 AS (
+    SELECT qt, mu_q,
+           sqrt(((qt[1]-mu_q)*(qt[1]-mu_q) + (qt[2]-mu_q)*(qt[2]-mu_q)
+               + (qt[3]-mu_q)*(qt[3]-mu_q) + (qt[4]-mu_q)*(qt[4]-mu_q)
+               + (qt[5]-mu_q)*(qt[5]-mu_q) + (qt[6]-mu_q)*(qt[6]-mu_q)
+               + (qt[7]-mu_q)*(qt[7]-mu_q) + (qt[8]-mu_q)*(qt[8]-mu_q))
+               / 8) AS sig_q
+    FROM qstats
+),
+tok AS (
+    SELECT doc_id, n_tok, g.i AS pos, CAST(tokens[g.i] AS BIGINT) AS t
+    FROM read_parquet('{glob}') tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+),
+w AS (
+    SELECT doc_id, pos, t AS t0,
+           lead(t, 1) OVER dw AS t1, lead(t, 2) OVER dw AS t2,
+           lead(t, 3) OVER dw AS t3, lead(t, 4) OVER dw AS t4,
+           lead(t, 5) OVER dw AS t5, lead(t, 6) OVER dw AS t6,
+           lead(t, 7) OVER dw AS t7
+    FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+wf AS (
+    SELECT doc_id, pos, t0, t1, t2, t3, t4, t5, t6, t7,
+           (t0+t1+t2+t3+t4+t5+t6+t7) AS ws,
+           (t0*t0+t1*t1+t2*t2+t3*t3+t4*t4+t5*t5+t6*t6+t7*t7) AS ws2
+    FROM w WHERE t7 IS NOT NULL
+),
+stats AS (
+    SELECT *, CAST(ws AS DOUBLE)/8 AS mu,
+           sqrt(greatest(CAST(ws2 AS DOUBLE)/8
+                - (CAST(ws AS DOUBLE)/8)*(CAST(ws AS DOUBLE)/8), 0.0))
+               AS sig
+    FROM wf
+),
+dists AS (
+    SELECT s.doc_id,
+           sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+    FROM (
+        SELECT s.doc_id,
+               abs(16.0 * (1.0 - least(
+                   (CAST(s.t0*q.qt[1] + s.t1*q.qt[2] + s.t2*q.qt[3]
+                       + s.t3*q.qt[4] + s.t4*q.qt[5] + s.t5*q.qt[6]
+                       + s.t6*q.qt[7] + s.t7*q.qt[8] AS DOUBLE)
+                    - (8*qs.mu_q)*s.mu)
+                   / (CASE WHEN (8*qs.sig_q)*s.sig < 1e-14
+                           THEN 1e-14 ELSE (8*qs.sig_q)*s.sig END),
+                   1.0))) AS d2
+        FROM stats s CROSS JOIN q CROSS JOIN qstats2 qs) s
+),
+perdoc AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+           MIN(d) AS min_d, MAX(d) AS max_d
+    FROM dists GROUP BY doc_id
+)
+SELECT doc_id, n_windows, min_d, max_d FROM perdoc
 """,
         "mass_q8": f"""
 WITH q AS (
