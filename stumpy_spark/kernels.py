@@ -306,6 +306,111 @@ def _rho_to_distance_inplace(rho, m):
 
 
 
+def _mp_top1_blocked_sym(windows, mu, sig, m, con, fin, any_con, all_fin,
+                         ez, compute_left_right, P, I, IL, IR, PL, PR,
+                         br: int = 128, bc: int = 256):
+    """Self-join top-1 profile over upper-triangle cache tiles.
+
+    Each tile (r0:r1, c0:c1) with c-block >= r-block is computed once;
+    its per-row minima update rows (right-side neighbors) and its per-col
+    minima update cols (left-side neighbors).  Candidates for any index
+    arrive in ascending neighbor order, so first-strictly-smaller updates
+    reproduce the argmin-first-index tie rule of the row-wise kernel."""
+    l = windows.shape[0]
+    if l * l <= 262144:
+        br = bc = l
+    best_p = np.full(l, np.inf)
+    best_j = np.full(l, -1, dtype=np.int64)
+    bl_p = np.full(l, np.inf)
+    bl_j = np.full(l, -1, dtype=np.int64)
+    br_p = np.full(l, np.inf)
+    br_j = np.full(l, -1, dtype=np.int64)
+
+    def upd(pv, jv, idx, vals, js):
+        better = vals < pv[idx]
+        ii = idx[better]
+        pv[ii] = vals[better]
+        jv[ii] = js[better]
+
+    for r0 in range(0, l, br):
+        r1 = min(r0 + br, l)
+        nr = r1 - r0
+        rr = np.arange(nr)
+        rows_abs = np.arange(r0, r1)
+        for c0 in range(r0 - (r0 % bc), l, bc):
+            c1 = min(c0 + bc, l)
+            if c1 <= r0:
+                continue                      # strictly lower tile grid
+            D = _pearson_block(windows[r0:r1], windows[c0:c1],
+                               mu[r0:r1], sig[r0:r1],
+                               mu[c0:c1], sig[c0:c1], m)
+            _rho_to_distance_inplace(D, m)
+            if any_con:
+                ca = con[r0:r1][:, None]
+                cb = con[c0:c1][None, :]
+                D[ca & cb] = 0.0
+                D[ca ^ cb] = math.sqrt(m)
+            if not all_fin:
+                D[~fin[r0:r1], :] = np.inf
+                D[:, ~fin[c0:c1]] = np.inf
+            crossing = c0 <= r1 - 1 + ez and r0 - ez <= c1 - 1
+            if crossing:
+                for ra in range(r0, r1):
+                    lo = max(c0, ra - ez) - c0
+                    hi = min(c1, ra + ez + 1) - c0
+                    if lo < hi:
+                        D[ra - r0, lo:hi] = np.inf
+            cc = np.arange(c1 - c0)
+            cols_abs = np.arange(c0, c1)
+            # col-direction minima first (neighbors i in [r0, r1), i.e.
+            # smaller indices): keeps per-index candidates arriving in
+            # ascending neighbor order so strict-< updates reproduce the
+            # argmin-first-index tie rule
+            i2 = np.argmin(D, axis=0)
+            v2 = D[i2, cc]
+            upd(best_p, best_j, cols_abs, v2, i2 + r0)
+            # row-direction minima (neighbors j in [c0, c1))
+            j = np.argmin(D, axis=1)
+            v = D[rr, j]
+            upd(best_p, best_j, rows_abs, v, j + c0)
+            if compute_left_right:
+                if not crossing and c0 >= r1:
+                    # strictly-upper tile: rows see right neighbors,
+                    # cols see left neighbors
+                    upd(br_p, br_j, rows_abs, v, j + c0)
+                    upd(bl_p, bl_j, cols_abs, v2, i2 + r0)
+                else:
+                    # diagonal-crossing tile: split both directions
+                    buf = D.copy()
+                    for ra in range(r0, r1):
+                        lo = max(0, ra - c0)
+                        buf[ra - r0, lo:] = np.inf      # j < i part
+                    jl = np.argmin(buf, axis=1)
+                    vl = buf[rr, jl]
+                    upd(bl_p, bl_j, rows_abs, vl, jl + c0)
+                    il = np.argmin(buf, axis=0)
+                    vli = buf[il, cc]
+                    upd(br_p, br_j, cols_abs, vli, il + r0)
+                    buf[:] = D
+                    for ra in range(r0, r1):
+                        hi = min(buf.shape[1], ra - c0 + 1)
+                        if hi > 0:
+                            buf[ra - r0, :hi] = np.inf  # j > i part
+                    jr = np.argmin(buf, axis=1)
+                    vr = buf[rr, jr]
+                    upd(br_p, br_j, rows_abs, vr, jr + c0)
+                    ir = np.argmin(buf, axis=0)
+                    vri = buf[ir, cc]
+                    upd(bl_p, bl_j, cols_abs, vri, ir + r0)
+    P[:, 0] = best_p
+    I[:, 0] = np.where(np.isfinite(best_p), best_j, -1)
+    if compute_left_right:
+        PL[:] = bl_p
+        PR[:] = br_p
+        IL[:] = np.where(np.isfinite(bl_p), bl_j, -1)
+        IR[:] = np.where(np.isfinite(br_p), br_j, -1)
+
+
 def _mp_top1_blocked(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
                      con_A, con_B, fin_A, fin_B, any_con, all_fin_A,
                      all_fin_B, self_join, ez, compute_left_right,
@@ -445,10 +550,20 @@ def matrix_profile(
         # cache-blocked fast path: 2-D tiles sized to stay in L2/L3 so the
         # elementwise rho→distance passes don't stream DRAM (the full-width
         # row-block variant is memory-bandwidth-bound at high core counts)
-        _mp_top1_blocked(
-            windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
-            con_A, con_B, fin_A, fin_B, any_con, all_fin_A, all_fin_B,
-            self_join, ez, compute_left_right, P, I, IL, IR, PL, PR)
+        if self_join:
+            # upper-triangle tiles only; each tile updates its rows AND
+            # (transposed) its columns — the reference's symmetric
+            # diagonal update (stump.py:219-230), halving the compute
+            _mp_top1_blocked_sym(
+                windows_A, mu_A, sig_A, m, con_A, fin_A, any_con,
+                all_fin_A, ez, compute_left_right,
+                P, I, IL, IR, PL, PR)
+        else:
+            _mp_top1_blocked(
+                windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
+                con_A, con_B, fin_A, fin_B, any_con, all_fin_A,
+                all_fin_B, False, ez, compute_left_right,
+                P, I, IL, IR, PL, PR)
         if return_left_right_P:
             return P, I, IL, IR, PL, PR
         return P, I, IL, IR
