@@ -161,18 +161,28 @@ def _rollup_only(cpus: int, sf_dir: str) -> dict:
         spark.stop()
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32,
+                reps: int = 2) -> dict:
+    """Best-of-reps per level: this VM is on a shared host, and min wall
+    is the standard estimator least affected by neighbor noise."""
     out = {}
     for cpus in (lo, hi):
-        # fresh JVM per parallelism level so executor threads are real
-        r = subprocess.run(
-            [sys.executable, __file__, "--rollup-only", str(cpus), sf_dir],
-            capture_output=True, text=True, check=True)
-        out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(reps):
+            # fresh JVM per run so executor threads are real
+            r = subprocess.run(
+                [sys.executable, __file__, "--rollup-only", str(cpus),
+                 sf_dir],
+                capture_output=True, text=True, check=True)
+            res = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or res["wall_sec"] < best["wall_sec"]:
+                best = res
+        out[cpus] = best
     eff = (out[hi]["throughput_seq_per_sec"]
            / out[lo]["throughput_seq_per_sec"]) / (hi / lo)
     return {"lo": out[lo], "hi": out[hi],
-            "scaling_efficiency": round(eff, 3), "factor": hi // lo}
+            "scaling_efficiency": round(eff, 3), "factor": hi // lo,
+            "reps": reps}
 
 
 def main() -> None:

@@ -26,8 +26,10 @@ import numpy as np
 from . import kernels
 
 
-def prescrump(T, m: int, s: int | None = None):
-    """Sampled-query approximate MP.  Returns (P, I)."""
+def prescrump(T, m: int, s: int | None = None, normalize: bool = True,
+              p: float = 2.0):
+    """Sampled-query approximate MP (prescraamp when normalize=False).
+    Returns (P, I)."""
     T = np.asarray(T, dtype=np.float64)
     n = len(T)
     l = n - m + 1
@@ -39,6 +41,17 @@ def prescrump(T, m: int, s: int | None = None):
     I = np.full(l, -1, dtype=np.int64)
     for i in range(0, l, s):
         Q = Tc[i:i + m]
+        if not normalize:
+            D = kernels.mass_absolute(T[i:i + m], T, p=p)
+            kernels.apply_exclusion_zone(D, i, np.inf, ez)
+            j = int(np.argmin(D))
+            if D[j] < P[i]:
+                P[i] = D[j]
+                I[i] = j
+            upd = D < P
+            P[upd] = D[upd]
+            I[upd] = i
+            continue
         QT = kernels.sliding_dot_product(Q, Tc)
         D2 = kernels.squared_distance_profile(
             QT, M_T[i], Sigma_T[i], M_T, Sigma_T, m,
@@ -60,18 +73,23 @@ class Scrump:
 
     def __init__(self, T, m: int, percentage: float = 0.01,
                  pre_scrump: bool = False, s: int | None = None,
-                 seed: int = 42):
+                 seed: int = 42, normalize: bool = True, p: float = 2.0):
         T = np.asarray(T, dtype=np.float64)
         self.m = m
+        self.normalize = normalize
+        self.p = p
         self.l = len(T) - m + 1
         self.ez = kernels.excl_zone(m)
         (self.T, self.M_T, self.Sigma_T,
          self.fin, self.con) = kernels.preprocess(T, m)
         self.windows = np.lib.stride_tricks.sliding_window_view(self.T, m)
+        if not normalize:
+            cs2 = np.concatenate(([0.0], np.cumsum(self.T * self.T)))
+            self.w2 = cs2[m:] - cs2[:-m]
         self.P = np.full(self.l, np.inf)
         self.I = np.full(self.l, -1, dtype=np.int64)
         if pre_scrump:
-            self.P, self.I = prescrump(T, m, s)
+            self.P, self.I = prescrump(T, m, s, normalize=normalize, p=p)
         diags = np.arange(self.ez + 1, self.l)
         rs = np.random.RandomState(seed)
         self._diags = rs.permutation(diags)
@@ -95,6 +113,26 @@ class Scrump:
             k = l - g
             QT = np.einsum("ij,ij->i", self.windows[:k],
                            self.windows[g:g + k])
+            if not self.normalize:
+                if self.p == 2.0:
+                    D2 = self.w2[:k] - 2.0 * QT + self.w2[g:g + k]
+                    np.maximum(D2, 0.0, out=D2)
+                    D = np.sqrt(D2)
+                else:
+                    D = np.power(np.sum(np.abs(
+                        self.windows[:k] - self.windows[g:g + k])
+                        ** self.p, axis=1), 1.0 / self.p)
+                D[~self.fin[:k]] = np.inf
+                D[~self.fin[g:g + k]] = np.inf
+                ii = np.arange(k)
+                jj = ii + g
+                upd = D < self.P[ii]
+                self.P[ii[upd]] = D[upd]
+                self.I[ii[upd]] = jj[upd]
+                upd = D < self.P[jj]
+                self.P[jj[upd]] = D[upd]
+                self.I[jj[upd]] = ii[upd]
+                continue
             mu_a, sig_a = self.M_T[:k], self.Sigma_T[:k]
             mu_b, sig_b = self.M_T[g:g + k], self.Sigma_T[g:g + k]
             denom = m * sig_a * sig_b
@@ -123,7 +161,8 @@ class Scrump:
             self.update()
 
 
-def multi_matrix_profile(Ts, m: int):
+def multi_matrix_profile(Ts, m: int, normalize: bool = True,
+                         p: float = 2.0):
     """Multi-dimensional matrix profile (mstump semantics).
 
     ``Ts``: (d, n) array — rows are dimensions.  Returns (P, I) of shape
@@ -148,13 +187,26 @@ def multi_matrix_profile(Ts, m: int):
         Dd = np.empty((d, nb, l))
         for dim in range(d):
             Tc, mu, sig, fin, con = prep[dim]
-            rho = kernels._pearson_block(
-                windows[dim][start:stop], windows[dim],
-                mu[start:stop], sig[start:stop], mu, sig, m)
-            D2 = np.abs(2.0 * m * (1.0 - rho))
-            ca = con[start:stop][:, None]
-            D2 = np.where(ca & con[None, :], 0.0, D2)
-            D2 = np.where(ca ^ con[None, :], float(m), D2)
+            if normalize:
+                rho = kernels._pearson_block(
+                    windows[dim][start:stop], windows[dim],
+                    mu[start:stop], sig[start:stop], mu, sig, m)
+                D2 = np.abs(2.0 * m * (1.0 - rho))
+                ca = con[start:stop][:, None]
+                D2 = np.where(ca & con[None, :], 0.0, D2)
+                D2 = np.where(ca ^ con[None, :], float(m), D2)
+            else:
+                # maamp path (stumpy/maamp.py): plain p-norm per dim
+                w = windows[dim]
+                if p == 2.0:
+                    cs2 = np.concatenate(([0.0], np.cumsum(Tc * Tc)))
+                    w2 = cs2[m:] - cs2[:-m]
+                    QT = w[start:stop] @ w.T
+                    D2 = w2[start:stop][:, None] - 2.0 * QT + w2[None, :]
+                    np.maximum(D2, 0.0, out=D2)
+                else:
+                    D2 = np.sum(np.abs(w[start:stop, None, :]
+                                       - w[None]) ** p, axis=2) ** (2.0/p)
             D2[~fin[start:stop], :] = np.inf
             D2[:, ~fin] = np.inf
             Dd[dim] = np.sqrt(kernels.snap_to_zero(D2))

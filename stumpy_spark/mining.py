@@ -178,7 +178,8 @@ def fluss(I: np.ndarray, L: int, n_regimes: int, excl_factor: int = 5):
 # snippets
 # ---------------------------------------------------------------------------
 
-def snippets(T, m: int, k: int, percentage: float = 1.0):
+def snippets(T, m: int, k: int, percentage: float = 1.0,
+             normalize: bool = True, p: float = 2.0):
     """Top-k snippets (most representative non-overlapping m-blocks),
     greedy min-area selection over MPdist profiles (snippets.py:153-339).
 
@@ -206,7 +207,10 @@ def snippets(T, m: int, k: int, percentage: float = 1.0):
         D = np.full(n - sub_m + 1, np.inf)
         l_b = len(blk) - sub_m + 1
         for q in range(l_b):
-            d = kernels.mass(blk[q:q + sub_m], T)
+            if normalize:
+                d = kernels.mass(blk[q:q + sub_m], T)
+            else:
+                d = kernels.mass_absolute(blk[q:q + sub_m], T, p=p)
             np.minimum(D, d[:len(D)], out=D)
         profiles.append(D)
     profiles = np.vstack(profiles)
@@ -274,10 +278,12 @@ def allc(IL: np.ndarray, IR: np.ndarray):
 # ostinato (consensus motif across series)
 # ---------------------------------------------------------------------------
 
-def ostinato(Ts: list[np.ndarray], m: int):
+def ostinato(Ts: list[np.ndarray], m: int, normalize: bool = True,
+             p: float = 2.0):
     """Consensus motif: subsequence minimizing the max nearest-neighbor
     distance to every other series (ostinato.py:148-278, with the sorted-MP
-    early-abandon ordering).
+    early-abandon ordering).  ``normalize=False`` is the aamp_ostinato
+    twin (stumpy/ostinato.py non-normalized reroute).
 
     Returns (radius, series_idx, subseq_idx).
     """
@@ -287,7 +293,11 @@ def ostinato(Ts: list[np.ndarray], m: int):
     kcount = len(Ts)
     for j in range(kcount):
         h = (j + 1) % kcount
-        P = kernels.matrix_profile(Ts[j], m, T_B=Ts[h])[0][:, 0]
+        if normalize:
+            P = kernels.matrix_profile(Ts[j], m, T_B=Ts[h])[0][:, 0]
+        else:
+            P = kernels.matrix_profile_absolute(
+                Ts[j], m, T_B=Ts[h], p=p)[0][:, 0]
         order = np.argsort(P, kind="stable")
         for q in order:
             if P[q] >= best_rad:
@@ -298,7 +308,10 @@ def ostinato(Ts: list[np.ndarray], m: int):
             for g in range(kcount):
                 if g in (j, h):
                     continue
-                d = float(np.min(kernels.mass(Q, Ts[g])))
+                if normalize:
+                    d = float(np.min(kernels.mass(Q, Ts[g])))
+                else:
+                    d = float(np.min(kernels.mass_absolute(Q, Ts[g], p=p)))
                 radius = max(radius, d)
                 if radius >= best_rad:
                     ok = False

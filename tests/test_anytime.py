@@ -114,3 +114,64 @@ def test_mdl_and_mmotifs():
     motif_idx, nn_idx, kdim, dims = res[0]
     assert {motif_idx, nn_idx} == {10, 50}
     assert set(dims) <= {0, 2}
+
+
+def test_non_normalized_twins():
+    """The normalize=False reroute (reference @non_normalized decorator
+    parity, tests/test_non_normalized_decorator.py analog)."""
+    rs = np.random.RandomState(31)
+    T = rs.uniform(-100, 100, 100)
+    m = 6
+    P_exact = kernels.matrix_profile_absolute(T, m)[0][:, 0]
+    # scraamp: converges to the exact aamp profile
+    sc = Scrump(T, m, percentage=1.0, normalize=False)
+    sc.run_to_completion()
+    npt.assert_almost_equal(P_exact, sc.P_, decimal=PRECISION)
+    # prescraamp: upper bound, sampled rows exact
+    P, I = prescrump(T, m, s=3, normalize=False)
+    assert np.all(P >= P_exact - 1e-9)
+    npt.assert_almost_equal(P[::3], P_exact[::3], decimal=PRECISION)
+    # maamp
+    Ts = rs.uniform(-100, 100, (2, 40))
+    Pm, Im = multi_matrix_profile(Ts, 5, normalize=False)
+    # 1-dim level equals min over per-dim aamp? level k uses sorted means;
+    # check level-0 against brute force
+    ez = 2
+    for i in range(Pm.shape[1]):
+        ds = []
+        for j in range(Pm.shape[1]):
+            if abs(i - j) <= ez:
+                continue
+            per = sorted(
+                float(np.sqrt(np.sum((Ts[d, i:i+5] - Ts[d, j:j+5])**2)))
+                for d in range(2))
+            ds.append(per[0])
+        npt.assert_almost_equal(Pm[0, i], min(ds), decimal=PRECISION)
+
+
+def test_ostinato_snippets_non_normalized():
+    import naive_oracle as naive
+    from stumpy_spark import mining
+    rs = np.random.RandomState(33)
+    Ts = [rs.uniform(-100, 100, 30) for _ in range(3)]
+    m = 5
+    best = (np.inf, -1, -1)
+    for j, Tj in enumerate(Ts):
+        for q in range(len(Tj) - m + 1):
+            Q = Tj[q:q + m]
+            radius = 0.0
+            for g, Tg in enumerate(Ts):
+                if g == j:
+                    continue
+                dmin = min(naive.pnorm_dist(Q, Tg[x:x + m])
+                           for x in range(len(Tg) - m + 1))
+                radius = max(radius, dmin)
+            if radius < best[0]:
+                best = (radius, j, q)
+    rad, ts_i, idx = mining.ostinato(Ts, m, normalize=False)
+    npt.assert_almost_equal(rad, best[0], decimal=PRECISION)
+    assert (ts_i, idx) == (best[1], best[2])
+    # aampdist_snippets smoke: runs and covers the series
+    T = rs.uniform(-100, 100, 96)
+    idxs, fracs, areas = mining.snippets(T, 16, 2, normalize=False)
+    assert len(idxs) == 2 and abs(fracs.sum() - 1.0) < 1e-9
