@@ -161,10 +161,16 @@ def _rollup_only(cpus: int, sf_dir: str) -> dict:
         spark.stop()
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32,
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16,
                 reps: int = 2) -> dict:
     """Best-of-reps per level: this VM is on a shared host, and min wall
-    is the standard estimator least affected by neighbor noise."""
+    is the standard estimator least affected by neighbor noise.
+
+    Default pair is local[4] vs local[16]: the box exposes 32 vCPUs but
+    measured per-core throughput halves above 16 concurrent workers (SMT
+    siblings, not physical cores), so 4 -> 16 is the honest analog of an
+    N-executor -> 4N-executor comparison (separate machines don't share
+    hyperthreads).  Pass lo/hi explicitly to measure other pairs."""
     out = {}
     for cpus in (lo, hi):
         best = None

@@ -308,7 +308,7 @@ def _rho_to_distance_inplace(rho, m):
 
 def _mp_top1_blocked_sym(windows, mu, sig, m, con, fin, any_con, all_fin,
                          ez, compute_left_right, P, I, IL, IR, PL, PR,
-                         br: int = 128, bc: int = 256):
+                         br: int = 128, bc: int = 128):
     """Self-join top-1 profile over upper-triangle cache tiles.
 
     Each tile (r0:r1, c0:c1) with c-block >= r-block is computed once;
@@ -415,7 +415,7 @@ def _mp_top1_blocked(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
                      con_A, con_B, fin_A, fin_B, any_con, all_fin_A,
                      all_fin_B, self_join, ez, compute_left_right,
                      P, I, IL, IR, PL, PR,
-                     br: int = 128, bc: int = 256):
+                     br: int = 128, bc: int = 128):
     """Top-1 matrix profile over (br × bc) cache-resident tiles with
     running per-row minima (and left/right minima for self-joins)."""
     la = windows_A.shape[0]
