@@ -93,6 +93,27 @@ def _q_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_n_tok").cast("long").alias("sum_n_tok"))
 
 
+def _q_gapfill_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward for the non-additive
+    stat columns."""
+    from stumpy_spark.rollup import tiers as RT
+    from stumpy_spark.rollup.gapfill import gapfill
+    raw = RT.per_sequence_stats_fused(_tokseq(spark, sf_dir), m=M_DEFAULT)
+    t1h = RT.rollup_tier(raw, "1h")
+    return gapfill(t1h, "1h", locf=True).select(
+        "source", F.col("bucket").cast("string").alias("bucket"),
+        F.col("n_seq").cast("long").alias("n_seq"),
+        "max_mean")
+
+
+def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke: metadata-only aggregate over the
+    synthetic media table (binary blobs never read)."""
+    from stumpy_spark.functions import multimodal as MM
+    media = MM.synthetic_media_df(spark, 300)
+    return MM.media_stats(media)
+
+
 def _q_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stumpy_spark.operators import sliding_stats
     df = _tokseq(spark, sf_dir)
@@ -288,6 +309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1h": _rollup("1h"),
     "rollup_1d": _rollup("1d"),
     "gapfill_1h": _q_gapfill_1h,
+    "gapfill_1h_locf": _q_gapfill_1h_locf,
     "sliding_stats_m25": _q_sliding_stats,
     "distinct_tokens_1d": _q_distinct_tokens_1d,
     "aamp_m3_short": _q_aamp_m3_short,
@@ -306,6 +328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": _q_simhash_pairs,
     "lsh_knn_k5": _q_lsh_knn,
     "gorilla_roundtrip_diff": _q_gorilla_roundtrip,
+    "media_stats": _q_media_stats,
 }
 
 
@@ -406,6 +429,34 @@ SELECT s.source, CAST(s.bucket AS VARCHAR) AS bucket,
        COALESCE(a.sum_n_tok, 0)::BIGINT AS sum_n_tok
 FROM spine s LEFT JOIN agg a
   ON s.source = a.source AND s.bucket = a.bucket
+""",
+        "gapfill_1h_locf": f"""
+WITH {_PERDOC_CTE.format(glob=glob, m=M_DEFAULT, m_minus_1=M_DEFAULT - 1)},
+agg AS (
+    SELECT source, date_trunc('hour', event_ts) AS bucket,
+           COUNT(*)::BIGINT AS n_seq, MAX(max_mean) AS max_mean
+    FROM perdoc GROUP BY 1, 2
+),
+bounds AS (
+    SELECT source, MIN(bucket) AS lo, MAX(bucket) AS hi
+    FROM agg GROUP BY source
+),
+spine AS (
+    SELECT source, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        AS bucket
+    FROM bounds
+),
+joined AS (
+    SELECT s.source, s.bucket,
+           COALESCE(a.n_seq, 0)::BIGINT AS n_seq, a.max_mean
+    FROM spine s LEFT JOIN agg a
+      ON s.source = a.source AND s.bucket = a.bucket
+)
+SELECT source, CAST(bucket AS VARCHAR) AS bucket, n_seq,
+       last_value(max_mean IGNORE NULLS) OVER (
+           PARTITION BY source ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_mean
+FROM joined
 """,
         "sliding_stats_m25": f"""
 WITH {_PERDOC_CTE.format(glob=glob, m=m, m_minus_1=m - 1)}
