@@ -50,20 +50,37 @@ _PARTIAL_SCHEMA = T.StructType([
 
 
 def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
-                               tile: int = 8192) -> DataFrame:
-    """Exact top-1 self-join matrix profile of one long series, tiled
-    across the cluster.  Returns DataFrame (i, P, I, PL, IL, PR, IR)."""
+                               tile: int = 8192,
+                               T_B=None) -> DataFrame:
+    """Exact top-1 matrix profile of one long series, tiled across the
+    cluster.  Self-join when ``T_B is None`` (with exclusion zone and
+    left/right profiles), AB-join otherwise (``ignore_trivial=False``
+    semantics: no exclusion, IL/IR reported as -1).
+    Returns DataFrame (i, P, I, PL, IL, PR, IR)."""
     T_arr = np.asarray(T_arr, dtype=np.float64)
+    self_join = T_B is None
     n = len(T_arr)
     l = n - m + 1
-    ez = kernels.excl_zone(m)
+    ez = kernels.excl_zone(m) if self_join else -1
 
     Tc, M_T, Sigma_T, isfinite_w, isconstant = kernels.preprocess(T_arr, m)
+    if self_join:
+        prepB = (Tc, M_T, Sigma_T, isfinite_w, isconstant)
+        lb = l
+    else:
+        prepB = kernels.preprocess(np.asarray(T_B, dtype=np.float64), m)
+        lb = len(prepB[1])
     sc = spark.sparkContext
-    b = sc.broadcast((Tc, M_T, Sigma_T, isfinite_w, isconstant))
+    b = sc.broadcast(((Tc, M_T, Sigma_T, isfinite_w, isconstant), prepB,
+                      self_join))
 
     n_tiles = (l + tile - 1) // tile
-    tiles = [(r, c) for r in range(n_tiles) for c in range(r, n_tiles)]
+    nb_tiles = (lb + tile - 1) // tile
+    if self_join:
+        tiles = [(r, c) for r in range(n_tiles)
+                 for c in range(r, n_tiles)]
+    else:
+        tiles = [(r, c) for r in range(n_tiles) for c in range(nb_tiles)]
     tiles_df = spark.createDataFrame(
         pd.DataFrame(tiles, columns=["tr", "tc"]))
     # spread tiles across the cluster; tile count >> cores keeps AQE happy
@@ -71,25 +88,28 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
         min(len(tiles), spark.sparkContext.defaultParallelism * 4))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Tb, mu, sig, fin, con = b.value
-        windows = np.lib.stride_tricks.sliding_window_view(Tb, m)
+        (Ta, mu, sig, fin, con), (Tb2, mub, sigb, finb, conb), sj = b.value
+        windows = np.lib.stride_tricks.sliding_window_view(Ta, m)
+        windows_B = windows if sj else \
+            np.lib.stride_tricks.sliding_window_view(Tb2, m)
 
         def block(r0, r1, c0, c1):
             rho = kernels._pearson_block(
-                windows[r0:r1], windows[c0:c1],
-                mu[r0:r1], sig[r0:r1], mu[c0:c1], sig[c0:c1], m)
+                windows[r0:r1], windows_B[c0:c1],
+                mu[r0:r1], sig[r0:r1], mub[c0:c1], sigb[c0:c1], m)
             D2 = np.abs(2.0 * m * (1.0 - rho))
             ca = con[r0:r1][:, None]
-            cb = con[c0:c1][None, :]
+            cb = conb[c0:c1][None, :]
             D2 = np.where(ca & cb, 0.0, D2)
             D2 = np.where(ca ^ cb, float(m), D2)
             D2[~fin[r0:r1], :] = np.inf
-            D2[:, ~fin[c0:c1]] = np.inf
+            D2[:, ~finb[c0:c1]] = np.inf
             D2 = kernels.snap_to_zero(D2)
             D = np.sqrt(D2)
-            rows = np.arange(r0, r1)[:, None]
-            cols = np.arange(c0, c1)[None, :]
-            D[np.abs(cols - rows) <= ez] = np.inf
+            if sj:
+                rows = np.arange(r0, r1)[:, None]
+                cols = np.arange(c0, c1)[None, :]
+                D[np.abs(cols - rows) <= ez] = np.inf
             return D
 
         def partials(D, i0, axis_rows, j0):
@@ -119,10 +139,10 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
             out = []
             for tr, tc in zip(pdf["tr"], pdf["tc"]):
                 r0, r1 = tr * tile, min((tr + 1) * tile, l)
-                c0, c1 = tc * tile, min((tc + 1) * tile, l)
+                c0, c1 = tc * tile, min((tc + 1) * tile, lb)
                 D = block(r0, r1, c0, c1)
                 out.append(partials(D, r0, True, c0))
-                if tr != tc:
+                if sj and tr != tc:
                     out.append(partials(D.T, c0, False, r0))
             if out:
                 yield pd.concat(out, ignore_index=True)

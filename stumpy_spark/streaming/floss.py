@@ -159,3 +159,29 @@ class AampiState:
         else:
             self.P[l - 1] = np.inf
             self.I[l - 1] = -1
+
+    # -- accessors / serialization (same wiring contract as StumpiState) ---
+    @property
+    def P_(self):
+        return self.P
+
+    @property
+    def I_(self):
+        return np.where(self.I >= 0, self.I + self.n_appended, -1)
+
+    def to_tuple(self):
+        # left_P/left_I slots carry the rolling ||W||^2 (w2) for aampi
+        return (self.m, self.n, self.n_appended,
+                self.T.tolist(), self.P.tolist(), self.I.tolist(),
+                self.w2.tolist(), [], self.QT.tolist())
+
+    @classmethod
+    def from_tuple(cls, tup):
+        obj = cls.__new__(cls)
+        (obj.m, obj.n, obj.n_appended, T, P, I, w2, _unused, QT) = tup
+        obj.T = np.asarray(T, dtype=np.float64)
+        obj.P = np.asarray(P, dtype=np.float64)
+        obj.I = np.asarray(I, dtype=np.int64)
+        obj.w2 = np.asarray(w2, dtype=np.float64)
+        obj.QT = np.asarray(QT, dtype=np.float64)
+        return obj

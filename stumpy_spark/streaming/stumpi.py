@@ -130,8 +130,9 @@ class StumpiState:
 
 
 def stumpi_stream(stream_df, m: int, window_n: int,
-                  timeout_ms: int = 60000):
-    """Wire StumpiState into Structured Streaming.
+                  timeout_ms: int = 60000, normalize: bool = True):
+    """Wire StumpiState (or AampiState when ``normalize=False`` — the
+    aampi reroute) into Structured Streaming.
 
     ``stream_df`` must be a streaming DataFrame with columns
     ``(doc_id string, pos long, value double)``; rows for a doc must arrive
@@ -163,6 +164,11 @@ def stumpi_stream(stream_df, m: int, window_n: int,
         T.StructField("buf", T.ArrayType(T.DoubleType())),
     ])
 
+    if normalize:
+        state_cls = StumpiState
+    else:
+        from .floss import AampiState as state_cls  # noqa: N813
+
     def fn(key, pdfs, state: GroupState):
         doc_id = key[0]
         vals = []
@@ -171,14 +177,14 @@ def stumpi_stream(stream_df, m: int, window_n: int,
             vals.extend(float(v) for v in pdf["value"])
         if state.exists:
             (sm, sn, napp, sT, sP, sI, slP, slI, sQT, buf) = state.get
-            st = StumpiState.from_tuple(
+            st = state_cls.from_tuple(
                 (sm, sn, napp, sT, sP, sI, slP, slI, sQT))
             buf = list(buf)
         else:
             st, buf = None, []
         buf.extend(vals)
         if st is None and len(buf) >= window_n:
-            st = StumpiState(np.asarray(buf[:window_n]), m)
+            st = state_cls(np.asarray(buf[:window_n]), m)
             buf = buf[window_n:]
         if st is not None:
             for v in buf:

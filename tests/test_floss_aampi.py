@@ -92,3 +92,38 @@ def test_floss_cac_detects_regime_change():
     # a regime boundary inside the window → CAC dips well below 1
     assert cac_after.min() < 0.4
     assert cac_after.min() <= cac_before.min() + 1e-9
+
+
+def test_aampi_structured_streaming(spark, tmp_path):
+    """aampi through the same applyInPandasWithState wiring."""
+    import pandas as pd
+    from stumpy_spark.streaming.stumpi import stumpi_stream
+    rs = np.random.RandomState(21)
+    n, m, extra = 25, 3, 8
+    series = {f"doc{d}": rs.uniform(-100, 100, n + extra)
+              for d in range(2)}
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [(did, pos, float(v)) for did, vals in series.items()
+            for pos, v in enumerate(vals)]
+    pd.DataFrame(rows, columns=["doc_id", "pos", "value"]).to_parquet(
+        indir / "b0.parquet")
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("value", T.DoubleType())])
+    stream = spark.readStream.schema(schema).parquet(str(indir))
+    out = stumpi_stream(stream, m=m, window_n=n, normalize=False)
+    q = (out.writeStream.format("memory").queryName("aampi_out")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM aampi_out").toPandas()
+    for did, vals in series.items():
+        ora = NaiveAampiEgress(vals[:n], m)
+        for t in vals[n:]:
+            ora.update(t)
+        row = res[res.doc_id == did].sort_values("n_seen").iloc[-1]
+        npt.assert_almost_equal(ora.P, np.array(row.P), decimal=PRECISION)

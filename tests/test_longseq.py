@@ -35,3 +35,15 @@ def test_distributed_with_nans(spark):
     P, I, _, _ = kernels.matrix_profile(T, m)
     npt.assert_almost_equal(P[:, 0], got.P.to_numpy(), decimal=10)
     npt.assert_array_equal(I[:, 0], got.I.to_numpy())
+
+
+def test_distributed_ab_join(spark):
+    rs = np.random.RandomState(9)
+    T_A = rs.uniform(-1000, 1000, 1500)
+    T_B = rs.uniform(-1000, 1000, 900)
+    m = 20
+    got = (distributed_matrix_profile(spark, T_A, m, tile=256, T_B=T_B)
+           .toPandas().sort_values("i").reset_index(drop=True))
+    P, I, _, _ = kernels.matrix_profile(T_A, m, T_B=T_B)
+    npt.assert_almost_equal(P[:, 0], got.P.to_numpy(), decimal=10)
+    npt.assert_array_equal(I[:, 0], got.I.to_numpy())
