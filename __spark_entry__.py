@@ -108,10 +108,15 @@ def _q_gapfill_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke: metadata-only aggregate over the
-    synthetic media table (binary blobs never read)."""
+    synthetic media table (binary blobs never read).  The table is
+    materialized as a parquet fixture so DuckDB recomputes the same
+    aggregate as the oracle."""
     from stumpy_spark.functions import multimodal as MM
-    media = MM.synthetic_media_df(spark, 300)
-    return MM.media_stats(media)
+    media = spark.read.parquet(MM.ensure_media_fixture(spark, 300))
+    return MM.media_stats(media).select(
+        "mime", F.col("n_media").cast("long").alias("n_media"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        "avg_duration_ms")
 
 
 def _q_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,9 +551,11 @@ dists AS (
            sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
     FROM (
         SELECT doc_id, i,
-               abs((least((qt - (8*mu_a)*mu_b)
-                    / greatest((8*sig_a)*sig_b, 1e-14), 1.0)
-                    - 1.0) * -16.0) AS d2
+               CASE WHEN sig_a = 0 AND sig_b = 0 THEN 0.0
+                    WHEN sig_a = 0 OR sig_b = 0 THEN 8.0
+                    ELSE abs((least((qt - (8*mu_a)*mu_b)
+                         / greatest((8*sig_a)*sig_b, 1e-14), 1.0)
+                         - 1.0) * -16.0) END AS d2
         FROM pairs)
 ),
 prof AS (SELECT doc_id, i, MIN(d) AS p FROM dists GROUP BY doc_id, i)
@@ -607,14 +614,16 @@ dists AS (
            sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
     FROM (
         SELECT s.doc_id,
-               abs(16.0 * (1.0 - least(
+               CASE WHEN qs.sig_q = 0 AND s.sig = 0 THEN 0.0
+                    WHEN qs.sig_q = 0 OR s.sig = 0 THEN 8.0
+                    ELSE abs(16.0 * (1.0 - least(
                    (CAST(s.t0*q.qt[1] + s.t1*q.qt[2] + s.t2*q.qt[3]
                        + s.t3*q.qt[4] + s.t4*q.qt[5] + s.t5*q.qt[6]
                        + s.t6*q.qt[7] + s.t7*q.qt[8] AS DOUBLE)
                     - (8*qs.mu_q)*s.mu)
                    / (CASE WHEN (8*qs.sig_q)*s.sig < 1e-14
                            THEN 1e-14 ELSE (8*qs.sig_q)*s.sig END),
-                   1.0))) AS d2
+                   1.0))) END AS d2
         FROM stats s CROSS JOIN q CROSS JOIN qstats2 qs) s
 ),
 perdoc AS (
@@ -746,6 +755,15 @@ SELECT b.query_id::BIGINT AS query_id,
 FROM best b
 """,
     }
+    from stumpy_spark.functions.multimodal import media_fixture_path
+    media_glob = os.path.join(media_fixture_path(300), "*.parquet")
+    out["media_stats"] = f"""
+SELECT mime, COUNT(*)::BIGINT AS n_media,
+       SUM(n_bytes)::BIGINT AS total_bytes,
+       AVG(CAST(duration_ms AS DOUBLE)) AS avg_duration_ms
+FROM read_parquet('{media_glob}')
+GROUP BY mime
+"""
     return out
 
 

@@ -124,4 +124,27 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
     pdf = pd.DataFrame(rows, columns=[
         "media_id", "mime", "width", "height", "duration_ms", "n_bytes",
         "blob"])
+    # pandas upcasts int+None object columns to float64, which Spark's
+    # IntegerType verifier rejects — use the nullable Int32 extension dtype
+    for c in ("width", "height", "duration_ms"):
+        pdf[c] = pd.array(pdf[c].to_numpy(dtype=object), dtype="Int32")
+    pdf["n_bytes"] = pdf["n_bytes"].astype("int64")
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
+def media_fixture_path(n: int = 300) -> str:
+    import os
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".fixtures")
+    return os.path.join(root, f"media_{n}")
+
+
+def ensure_media_fixture(spark, n: int = 300, seed: int = 42) -> str:
+    """Materialize the synthetic media table as parquet (idempotent) so the
+    DuckDB oracle can recompute media_stats from the same bytes."""
+    import os
+    path = media_fixture_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synthetic_media_df(spark, n, seed).write.mode(
+            "overwrite").parquet(path)
+    return path
