@@ -262,6 +262,81 @@ def _q_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_maxscore").alias("score"))
 
 
+# -- mining surface (bit-exact m=8 oracles, same scheme as stump_m8_short) --
+
+def _short_docs(spark: SparkSession, sf_dir: str, lo: int = 16,
+                hi: int = 64) -> DataFrame:
+    return _tokseq(spark, sf_dir).where(
+        (F.col("n_tok") >= lo) & (F.col("n_tok") <= hi))
+
+
+def _q_mpdist_pairs_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPdist between consecutive short docs: k-th smallest of the
+    concatenated AB/BA top-1 profiles (mpdist.py:134-254 semantics)."""
+    from pyspark.sql import Window
+    from stumpy_spark.operators.discovery import mpdist_pairs
+    df = _short_docs(spark, sf_dir)
+    w = Window.orderBy("doc_id")
+    pairs = (df.select("doc_id")
+             .withColumn("id_b", F.lead("doc_id").over(w))
+             .where(F.col("id_b").isNotNull())
+             .select(F.col("doc_id").alias("id_a"), "id_b"))
+    return mpdist_pairs(df, pairs, 8).select("id_a", "id_b", "mpdist")
+
+
+def _q_fluss_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLUSS regime detection: corrected arc curve minimum + the single
+    n_regimes=2 regime location (floss.py:119-302 semantics)."""
+    from stumpy_spark.operators.discovery import fluss
+    df = _short_docs(spark, sf_dir, lo=48)
+    res = fluss(df, 8, n_regimes=2, excl_factor=2)
+    return res.select(
+        "doc_id",
+        F.try_element_at("regimes", F.lit(1)).cast("long").alias("regime"),
+        "cac_min")
+
+
+def _q_chains_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest unanchored time-series chain per doc (chains.py:10-152)."""
+    from stumpy_spark.operators.discovery import longest_chain
+    df = _short_docs(spark, sf_dir)
+    res = longest_chain(df, 8)
+    return res.select(
+        "doc_id",
+        F.try_element_at("chain", F.lit(1)).cast("long")
+        .alias("chain_start"),
+        F.try_element_at("chain", F.lit(-1)).cast("long")
+        .alias("chain_end"),
+        F.col("chain_len").cast("long").alias("chain_len"))
+
+
+def _q_motif_top1_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top motif per doc via the greedy match extraction (motifs.py:13-157)
+    with explicit cutoff/max_distance so the result is SQL-expressible:
+    motif idx = argmin of the profile, its neighbor, and the distance."""
+    from stumpy_spark.operators.discovery import motifs
+    df = _short_docs(spark, sf_dir)
+    res = motifs(df, 8, max_motifs=1, max_matches=2,
+                 max_distance=float("inf"), cutoff=float("inf"))
+    return res.select(
+        "doc_id", F.col("motif_idx").cast("long").alias("motif_idx"),
+        F.try_element_at("match_idxs", F.lit(2)).cast("long")
+        .alias("nn_idx"),
+        F.try_element_at("match_dists", F.lit(2)).alias("motif_d"))
+
+
+def _q_snippets_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 snippets (most representative m-blocks) per doc, greedy
+    min-area selection over MPdist profiles (snippets.py:153-339)."""
+    from stumpy_spark.operators.discovery import snippets
+    df = _short_docs(spark, sf_dir)
+    res = snippets(df, 8, k=2)
+    return res.select(
+        "doc_id", F.col("snippet_rank").cast("long").alias("snippet_rank"),
+        F.col("snippet_idx").cast("long").alias("snippet_idx"),
+        "fraction", "area")
+
+
 # -- rows-only queries (no SQL-expressible oracle; pytest covers them) ------
 
 def _q_stump_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +402,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _q_text_stats,
     "lang_id": _q_lang_id,
     "knn_top1": _q_knn_top1,
+    "mpdist_pairs_m8": _q_mpdist_pairs_m8,
+    "fluss_m8": _q_fluss_m8,
+    "chains_m8": _q_chains_m8,
+    "motif_top1_m8": _q_motif_top1_m8,
+    "snippets_m8": _q_snippets_m8,
     # rows-only (non-SQL-expressible; validated in tests/ against oracles)
     "stump_summary_m25": _q_stump_summary,
     "minhash_pairs": _q_minhash_pairs,
@@ -397,6 +477,259 @@ SELECT source,
        MAX(max_mean) AS max_mean
 FROM perdoc
 GROUP BY source, date_trunc('{trunc}', event_ts)
+"""
+
+
+# -- shared SQL fragments for the m=8 z-norm mining oracles -----------------
+# Every float op below mirrors the kernel exactly (same expression order),
+# so distances are bit-identical cross-engine: window sums are exact ints,
+# /8 and mu^2 are exact in binary, sqrt/div are IEEE-deterministic.
+
+def _win8_cte(glob: str, lo: int, hi: int) -> str:
+    """tok -> 8-wide windows -> (mu, sig) stats, 0-based window index."""
+    s = " + ".join(f"t{i}" for i in range(8))
+    s2 = " + ".join(f"t{i}*t{i}" for i in range(8))
+    return f"""
+tok AS (
+    SELECT doc_id, n_tok, g.i - 1 AS pos, CAST(tokens[g.i] AS BIGINT) AS t
+    FROM read_parquet('{glob}') tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+    WHERE n_tok BETWEEN {lo} AND {hi}
+),
+w AS (
+    SELECT doc_id, n_tok, pos, t AS t0,
+           lead(t, 1) OVER dw AS t1, lead(t, 2) OVER dw AS t2,
+           lead(t, 3) OVER dw AS t3, lead(t, 4) OVER dw AS t4,
+           lead(t, 5) OVER dw AS t5, lead(t, 6) OVER dw AS t6,
+           lead(t, 7) OVER dw AS t7
+    FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+stats AS (
+    SELECT doc_id, n_tok, pos, t0, t1, t2, t3, t4, t5, t6, t7,
+           CAST({s} AS DOUBLE)/8 AS mu,
+           sqrt(greatest(CAST({s2} AS DOUBLE)/8
+                - (CAST({s} AS DOUBLE)/8)*(CAST({s} AS DOUBLE)/8), 0.0))
+               AS sig
+    FROM w WHERE t7 IS NOT NULL
+)"""
+
+
+def _d2_expr(a: str, b: str) -> str:
+    """Squared z-norm distance between windows of relations a and b, with
+    the kernel's constant-window special cases and rho clamp."""
+    dot = " + ".join(f"{a}.t{i}*{b}.t{i}" for i in range(8))
+    return f"""CASE WHEN {a}.sig = 0 AND {b}.sig = 0 THEN 0.0
+                WHEN {a}.sig = 0 OR {b}.sig = 0 THEN 8.0
+                ELSE abs((least((CAST({dot} AS DOUBLE)
+                     - (8*{a}.mu)*{b}.mu)
+                     / greatest((8*{a}.sig)*{b}.sig, 1e-14), 1.0)
+                     - 1.0) * -16.0) END"""
+
+
+def _prof_cte() -> str:
+    """Self-join top-1 profile + argmin-first-index NN over the stats CTE
+    (exclusion zone |i-j| > 2 = ceil(8/4))."""
+    return f"""
+dist AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM stats a JOIN stats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+dd AS (SELECT doc_id, i, j,
+              sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+       FROM dist),
+prof AS (SELECT doc_id, i, MIN(d) AS p FROM dd GROUP BY doc_id, i),
+nn AS (SELECT dd.doc_id, dd.i, MIN(dd.j) AS nnj
+       FROM dd JOIN prof ON dd.doc_id = prof.doc_id AND dd.i = prof.i
+                AND dd.d = prof.p
+       GROUP BY dd.doc_id, dd.i)"""
+
+
+def _mpdist_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+docn AS (SELECT doc_id, n_tok FROM read_parquet('{glob}')
+         WHERE n_tok BETWEEN 16 AND 64),
+prs AS (
+    SELECT doc_id AS id_a, n_tok AS na,
+           lead(doc_id) OVER (ORDER BY doc_id) AS id_b,
+           lead(n_tok) OVER (ORDER BY doc_id) AS nb
+    FROM docn
+),
+prsf AS (SELECT * FROM prs WHERE id_b IS NOT NULL),
+pd AS (
+    SELECT p.id_a, p.id_b, a.pos AS i, b.pos AS j,
+           {_d2_expr('a', 'b')} AS d2
+    FROM prsf p
+    JOIN stats a ON a.doc_id = p.id_a
+    JOIN stats b ON b.doc_id = p.id_b
+),
+pdd AS (SELECT id_a, id_b, i, j,
+               sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+        FROM pd),
+pab AS (SELECT id_a, id_b, i, MIN(d) AS p FROM pdd GROUP BY 1, 2, 3),
+pba AS (SELECT id_a, id_b, j, MIN(d) AS p FROM pdd GROUP BY 1, 2, 3),
+abba AS (SELECT id_a, id_b, p FROM pab
+         UNION ALL SELECT id_a, id_b, p FROM pba),
+ranked AS (SELECT id_a, id_b, p,
+                  row_number() OVER (PARTITION BY id_a, id_b
+                                     ORDER BY p) - 1 AS rn
+           FROM abba)
+SELECT r.id_a, r.id_b, r.p AS mpdist
+FROM ranked r JOIN prsf k ON r.id_a = k.id_a AND r.id_b = k.id_b
+WHERE r.rn = CAST(ceil(0.05 * (k.na + k.nb)) AS BIGINT)
+"""
+
+
+def _fluss_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 48, 64)},
+{_prof_cte()},
+lw AS (SELECT doc_id, COUNT(*) AS l FROM prof GROUP BY doc_id),
+ev AS (SELECT doc_id, least(i, nnj) AS pos, 1 AS delta FROM nn
+       UNION ALL SELECT doc_id, greatest(i, nnj), -1 FROM nn),
+evagg AS (SELECT doc_id, pos, SUM(delta) AS delta FROM ev GROUP BY 1, 2),
+arcs AS (
+    SELECT p.doc_id, p.i AS pos,
+           SUM(COALESCE(e.delta, 0)) OVER (
+               PARTITION BY p.doc_id ORDER BY p.i) AS arc
+    FROM prof p LEFT JOIN evagg e
+      ON e.doc_id = p.doc_id AND e.pos = p.i
+),
+cacs AS (
+    SELECT a.doc_id, a.pos,
+           CASE WHEN a.pos < 16 OR a.pos >= lw.l - 16 THEN 1.0
+                ELSE least(CAST(a.arc AS DOUBLE)
+                     / ((2.0 * a.pos * (lw.l - a.pos)) / lw.l), 1.0) END
+               AS cac
+    FROM arcs a JOIN lw ON a.doc_id = lw.doc_id
+),
+best AS (SELECT doc_id, pos, cac,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY cac, pos) AS rnk
+         FROM cacs)
+SELECT doc_id, pos::BIGINT AS regime, cac AS cac_min
+FROM best WHERE rnk = 1
+"""
+
+
+def _chains_sql(glob: str) -> str:
+    return f"""
+WITH RECURSIVE {_win8_cte(glob, 16, 64)},
+{_prof_cte()},
+docs AS (SELECT DISTINCT doc_id FROM stats),
+profl AS (SELECT doc_id, i, MIN(d) AS p FROM dd WHERE j < i
+          GROUP BY doc_id, i),
+il AS (SELECT dd.doc_id, dd.i, MIN(dd.j) AS lft
+       FROM dd JOIN profl ON dd.doc_id = profl.doc_id AND dd.i = profl.i
+            AND dd.d = profl.p AND dd.j < dd.i
+       GROUP BY dd.doc_id, dd.i),
+profr AS (SELECT doc_id, i, MIN(d) AS p FROM dd WHERE j > i
+          GROUP BY doc_id, i),
+ir AS (SELECT dd.doc_id, dd.i, MIN(dd.j) AS rgt
+       FROM dd JOIN profr ON dd.doc_id = profr.doc_id AND dd.i = profr.i
+            AND dd.d = profr.p AND dd.j > dd.i
+       GROUP BY dd.doc_id, dd.i),
+edges AS (
+    SELECT r.doc_id, r.i AS x, r.rgt AS nxt
+    FROM ir r JOIN il l2 ON l2.doc_id = r.doc_id AND l2.i = r.rgt
+    WHERE l2.lft = r.i
+),
+starts AS (
+    SELECT s.doc_id, s.pos AS i
+    FROM stats s LEFT JOIN edges e
+      ON e.doc_id = s.doc_id AND e.nxt = s.pos
+    WHERE e.x IS NULL
+),
+walk AS (
+    SELECT doc_id, i AS start, i AS node, 1 AS len FROM starts
+    UNION ALL
+    SELECT w2.doc_id, w2.start, e.nxt, w2.len + 1
+    FROM walk w2 JOIN edges e
+      ON e.doc_id = w2.doc_id AND e.x = w2.node
+),
+valid AS (SELECT doc_id, start, MAX(node) AS chain_end, MAX(len) AS clen
+          FROM walk GROUP BY doc_id, start HAVING MAX(len) > 1),
+best AS (SELECT doc_id, start, chain_end, clen,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY clen DESC, start) AS rnk
+         FROM valid)
+SELECT d.doc_id, b.start::BIGINT AS chain_start,
+       b.chain_end::BIGINT AS chain_end,
+       COALESCE(b.clen, 0)::BIGINT AS chain_len
+FROM docs d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rnk = 1
+"""
+
+
+def _motif_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+{_prof_cte()},
+mn AS (SELECT doc_id, MIN(p) AS minp FROM prof GROUP BY doc_id),
+mi AS (SELECT p.doc_id, MIN(p.i) AS motif_idx
+       FROM prof p JOIN mn ON p.doc_id = mn.doc_id AND p.p = mn.minp
+       GROUP BY p.doc_id)
+SELECT m.doc_id, m.motif_idx::BIGINT AS motif_idx,
+       nn.nnj::BIGINT AS nn_idx, mn.minp AS motif_d
+FROM mi m
+JOIN nn ON nn.doc_id = m.doc_id AND nn.i = m.motif_idx
+JOIN mn ON mn.doc_id = m.doc_id
+"""
+
+
+def _snippets_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+docn AS (SELECT doc_id, n_tok FROM read_parquet('{glob}')
+         WHERE n_tok BETWEEN 16 AND 64),
+bdist AS (
+    SELECT a.doc_id, a.pos AS s, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM stats a JOIN stats b ON a.doc_id = b.doc_id
+    WHERE a.pos % 8 = 0
+),
+bd AS (SELECT doc_id, s, j,
+              sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+       FROM bdist),
+area1 AS (SELECT doc_id, s, SUM(d) AS area FROM bd GROUP BY doc_id, s),
+b1 AS (SELECT doc_id, s AS s1, area AS area_1
+       FROM (SELECT doc_id, s, area,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY area, s) AS rnk
+             FROM area1) WHERE rnk = 1),
+d1 AS (SELECT bd.doc_id, bd.j, bd.d
+       FROM bd JOIN b1 ON bd.doc_id = b1.doc_id AND bd.s = b1.s1),
+a2full AS (
+    SELECT bd.doc_id, bd.s, SUM(least(bd.d, d1.d)) AS area
+    FROM bd JOIN d1 ON bd.doc_id = d1.doc_id AND bd.j = d1.j
+    GROUP BY bd.doc_id, bd.s),
+a2part AS (
+    SELECT n.doc_id, (n.n_tok // 8) * 8 AS s, b1.area_1 AS area
+    FROM docn n JOIN b1 ON n.doc_id = b1.doc_id
+    WHERE n.n_tok % 8 <> 0),
+a2 AS (SELECT * FROM a2full UNION ALL SELECT * FROM a2part),
+b2 AS (SELECT doc_id, s AS s2, area AS area_2
+       FROM (SELECT doc_id, s, area,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY area, s) AS rnk
+             FROM a2) WHERE rnk = 1),
+d2t AS (SELECT bd.doc_id, bd.j, bd.d
+        FROM bd JOIN b2 ON bd.doc_id = b2.doc_id AND bd.s = b2.s2),
+own AS (
+    SELECT d1.doc_id, d1.j,
+           CASE WHEN d2t.d IS NULL OR d1.d <= d2t.d THEN 0 ELSE 1 END
+               AS owner
+    FROM d1 LEFT JOIN d2t ON d1.doc_id = d2t.doc_id AND d1.j = d2t.j),
+fr AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN owner = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) AS f0,
+              CAST(SUM(owner) AS DOUBLE) / COUNT(*) AS f1
+       FROM own GROUP BY doc_id)
+SELECT b1.doc_id, 0::BIGINT AS snippet_rank, b1.s1::BIGINT AS snippet_idx,
+       fr.f0 AS fraction, b1.area_1 AS area
+FROM b1 JOIN fr ON b1.doc_id = fr.doc_id
+UNION ALL
+SELECT b2.doc_id, 1::BIGINT, b2.s2::BIGINT, fr.f1, b2.area_2
+FROM b2 JOIN fr ON b2.doc_id = fr.doc_id
 """
 
 
@@ -755,6 +1088,11 @@ SELECT b.query_id::BIGINT AS query_id,
 FROM best b
 """,
     }
+    out["mpdist_pairs_m8"] = _mpdist_sql(glob)
+    out["fluss_m8"] = _fluss_sql(glob)
+    out["chains_m8"] = _chains_sql(glob)
+    out["motif_top1_m8"] = _motif_sql(glob)
+    out["snippets_m8"] = _snippets_sql(glob)
     from stumpy_spark.functions.multimodal import media_fixture_path
     media_glob = os.path.join(media_fixture_path(300), "*.parquet")
     out["media_stats"] = f"""

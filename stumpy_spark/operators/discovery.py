@@ -30,7 +30,8 @@ _MOTIF_SCHEMA = T.StructType([
 
 
 def motifs(df: DataFrame, m: int, max_motifs: int = 3,
-           max_matches: int = 10, id_col: str = "doc_id",
+           max_matches: int = 10, max_distance=None, cutoff=None,
+           min_neighbors: int = 1, id_col: str = "doc_id",
            tokens_col: str = "tokens") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -41,7 +42,10 @@ def motifs(df: DataFrame, m: int, max_motifs: int = 3,
                     continue
                 P = kernels.matrix_profile(a, m)[0][:, 0]
                 md, mi = mining.motifs(a, P, m, max_motifs=max_motifs,
-                                       max_matches=max_matches)
+                                       max_matches=max_matches,
+                                       max_distance=max_distance,
+                                       cutoff=cutoff,
+                                       min_neighbors=min_neighbors)
                 for rank, (ds, isx) in enumerate(zip(md, mi)):
                     rows.append((did, rank, isx[0], isx, ds))
             if rows:
@@ -70,7 +74,7 @@ def fluss(df: DataFrame, m: int, n_regimes: int = 2,
                 a = np.asarray(toks, dtype=np.float64)
                 if len(a) < 2 * m or len(a) < 2 * m * excl_factor + 2:
                     continue
-                I = kernels.matrix_profile(a, m)[0: 2][1][:, 0]
+                I = kernels.matrix_profile(a, m)[1][:, 0]
                 c, regs = mining.fluss(I, L=m, n_regimes=n_regimes,
                                        excl_factor=excl_factor)
                 rows.append((did, [int(r) for r in regs], float(c.min())))
