@@ -353,11 +353,20 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stumpy_spark.functions.dedup import (simhash_signatures,
+    """Near-dup pairs by banded SimHash.  Signatures are computed live
+    (JVM xxhash64 + bit votes) and also materialized as a fixture; the
+    DuckDB oracle brute-forces exact hamming over all signature pairs,
+    proving the banded join has perfect recall at radius 3 (bands =
+    max_hamming + 1 by pigeonhole)."""
+    from stumpy_spark.functions.dedup import (ensure_simhash_fixture,
+                                              simhash_signatures,
                                               simhash_near_pairs)
+    ensure_simhash_fixture(spark, sf_dir)
     docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .withColumn("doc_id", F.col("doc_id").cast("string")))
-    return simhash_near_pairs(simhash_signatures(docs), max_hamming=8)
+    return simhash_near_pairs(simhash_signatures(docs),
+                              max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,6 +1097,16 @@ SELECT b.query_id::BIGINT AS query_id,
 FROM best b
 """,
     }
+    from stumpy_spark.sources.tokseq import FIXTURE_ROOT, sf_name
+    sig_glob = os.path.join(FIXTURE_ROOT, f"simhash_{sf_name(sf)}",
+                            "*.parquet")
+    out["simhash_pairs"] = f"""
+WITH s AS (SELECT doc_id, simhash FROM read_parquet('{sig_glob}'))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)

@@ -151,60 +151,81 @@ def minhash_dedup_pairs(df: DataFrame, num_hashes: int = 64,
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc, vectorized per Arrow batch.
+    """64-bit SimHash per doc, entirely JVM-side (zero per-row Python).
 
-    Token hashes come from a cheap numpy FNV-1a over utf-8 bytes; the
-    bit-vote accumulation is a (tokens × 64) unpackbits matmul — no
-    per-row Python beyond the tokenize step.
+    Tokens are exploded and hashed with the built-in ``xxhash64``; the
+    64 per-bit majority votes are plain long-sum aggregations with
+    map-side partial combine (one shuffle on doc id).  The signed long
+    signature is recomposed from the vote bits with the top bit handled
+    as two's complement.
     """
-    from collections.abc import Iterator
-    from pyspark.sql import types as T
-
-    schema = T.StructType([
-        T.StructField(id_col, T.StringType()),
-        T.StructField("simhash", T.LongType()),
-    ])
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, out = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").split()
-                if not toks:
-                    ids.append(did)
-                    out.append(0)
-                    continue
-                hs = np.array([_fnv1a64(t) for t in toks],
-                              dtype=np.uint64)
-                bits = np.unpackbits(
-                    hs.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
-                votes = bits.sum(axis=0) * 2 - len(hs)
-                sig_bits = (votes > 0).astype(np.uint8)
-                sig = int(np.packbits(sig_bits).view(">u8")[0])
-                ids.append(did)
-                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-            yield pd.DataFrame({id_col: ids, "simhash": out})
-
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), r"\s+"))
+                      .alias("_tok"))
+            .where(F.col("_tok") != "")
+            .withColumn("_h", F.xxhash64("_tok")))
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1)))
+        .alias(f"_o{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    # bit i set iff ones*2 > n_tokens (strict-majority vote, ties -> 0,
+    # matching sign(votes) > 0); bit 63 contributes -2^63 (two's compl.)
+    n = F.col("_n")
+    sig = F.lit(0).cast("long")
+    for i in range(63):
+        sig = sig + F.when(F.col(f"_o{i}") * 2 > n,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    sig = sig + F.when(F.col("_o63") * 2 > n,
+                       F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0))
+    sigs = votes.select(F.col(id_col), sig.alias("simhash"))
+    # docs with zero tokens vanish in the groupBy: restore them as sig 0
+    return (df.select(id_col).join(sigs, id_col, "left")
+            .select(id_col, F.coalesce("simhash",
+                                       F.lit(0).cast("long"))
+                    .alias("simhash")))
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8", "ignore"):
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def ensure_simhash_fixture(spark, sf_dir: str) -> str:
+    """Materialize the per-doc simhash signatures for a scale dir as a
+    parquet fixture (idempotent), so a DuckDB oracle can brute-force the
+    exact hamming-distance pairs and verify the banded join's recall."""
+    import os
+    from ..sources.tokseq import FIXTURE_ROOT, sf_name
+    path = os.path.join(FIXTURE_ROOT, f"simhash_{sf_name(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = (spark.read.parquet(os.path.join(sf_dir,
+                                                "documents.parquet"))
+                .withColumn("doc_id", F.col("doc_id").cast("string")))
+        simhash_signatures(docs).write.mode("overwrite").parquet(path)
+    return path
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded for scale:
-    16-bit bands — any pair within hamming ≤ 3 shares ≥ 1 exact band."""
-    bands = [(F.shiftrightunsigned(F.col("simhash"), 16 * i)
-              .bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}") for i in range(4)]
-    banded = sigs.select(id_col, "simhash", *bands)
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    The signature is split into ``max_hamming + 1`` bit segments, so by
+    pigeonhole any pair with hamming <= max_hamming shares at least one
+    exact band — recall is guaranteed for every requested radius (fixing
+    the fixed-4-band variant that silently dropped pairs for radius > 3).
+    Larger radii mean narrower bands and bigger buckets: with b bands a
+    random pair collides on a band with probability ~ b / 2^(64/b), so
+    keep max_hamming <= ~6 at the 100 TB scale.
+    """
+    nb = max_hamming + 1
+    base, rem = divmod(64, nb)
+    widths = [base + (1 if i < rem else 0) for i in range(nb)]
+    offs = [sum(widths[:i]) for i in range(nb)]
+    band_cols = [
+        (F.shiftrightunsigned(F.col("simhash"), offs[i])
+         .bitwiseAND(F.lit((1 << widths[i]) - 1))).alias(f"b{i}")
+        for i in range(nb)
+    ]
+    banded = sigs.select(id_col, "simhash", *band_cols)
     banded = banded.unpivot(
-        [id_col, "simhash"], [f"b{i}" for i in range(4)], "band", "bh")
+        [id_col, "simhash"], [f"b{i}" for i in range(nb)], "band", "bh")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (l.join(r, [F.col("l.band") == F.col("r.band"),
                        F.col("l.bh") == F.col("r.bh"),

@@ -1,19 +1,15 @@
 """Text analysis for training-data pipelines (SURVEY extension scope):
 token counting, quality scoring, language ID, document fingerprinting.
 
-Everything except the fingerprint is pure Catalyst column expressions
-(JVM-side, whole-stage codegen); the fingerprint is a vectorized pandas UDF
-(rolling polynomial hash).
+Everything here is pure Catalyst column expressions (JVM-side,
+whole-stage codegen) — including the fingerprint, an F.aggregate
+xxhash64 fold over the token array.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -92,23 +88,15 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                     *[f"_c_{lang}" for lang in _LANG_MARKERS])
 
 
-def _fingerprint_batch(texts: pd.Series) -> pd.Series:
-    """64-bit rolling polynomial hash over whitespace tokens."""
-    MOD = (1 << 61) - 1
-    BASE = 1000003
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        h = 0
-        for tok in (t or "").split():
-            th = 0
-            for b in tok.encode("utf-8", "ignore"):
-                th = (th * 131 + b) % MOD
-            h = (h * BASE + th + 1) % MOD
-        out[i] = h
-    return pd.Series(out)
-
-
 def doc_fingerprint(col: Column) -> Column:
-    """Column: 64-bit rolling polynomial document fingerprint (pandas UDF,
-    created lazily so importing this module needs no SparkSession)."""
-    return pandas_udf(_fingerprint_batch, "long")(col)
+    """64-bit order-sensitive document fingerprint, entirely JVM-side.
+
+    A rolling hash chain over whitespace tokens: ``h' = xxhash64(h, tok)``
+    folded left-to-right with ``F.aggregate`` (higher-order function inside
+    whole-stage codegen — zero per-row Python).  Order-sensitive: permuted
+    token order yields a different fingerprint; empty/whitespace-only text
+    fingerprints to 0.
+    """
+    toks = F.filter(F.split(col, r"\s+"), lambda x: x != "")
+    return F.aggregate(toks, F.lit(0).cast("long"),
+                       lambda acc, x: F.xxhash64(acc, x))

@@ -109,6 +109,43 @@ def test_simhash(spark, docs):
     assert len(near) == 1 and near.hamming.iloc[0] == 0
 
 
+def test_simhash_band_recall_planted(spark):
+    """Pigeonhole recall guarantee: every planted pair within the requested
+    hamming radius must be found — including pairs whose differing bits are
+    spread one-per-16-bit-band (which a fixed 4-band split would miss)."""
+    base = 0x0123456789ABCDEF
+    variants = {
+        "v0": base,                                    # hamming 0
+        "v4spread": base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)),
+        "v8spread": base ^ sum(1 << (8 * i) for i in range(8)),
+        "v8hi": base ^ (0xFF << 56),                   # hamming 8, top byte
+        "far": base ^ ((1 << 20) - 1),                 # hamming 20
+    }
+
+    def to_signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    pdf = pd.DataFrame({
+        "doc_id": ["base"] + list(variants),
+        "simhash": [to_signed(base)] + [to_signed(v)
+                                        for v in variants.values()],
+    })
+    sigs = spark.createDataFrame(pdf)
+    got = dedup.simhash_near_pairs(sigs, max_hamming=8).toPandas()
+    found = {tuple(sorted(t)) for t in zip(got.id_a, got.id_b)}
+    # brute-force oracle over all pairs
+    expected = set()
+    rows = list(zip(pdf.doc_id, pdf.simhash))
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            ham = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+            if ham <= 8:
+                expected.add(tuple(sorted((rows[i][0], rows[j][0]))))
+    assert found == expected
+    assert ("base", "v8spread") in found
+    assert ("base", "v8hi") in found
+
+
 def test_text_quality_and_lang(spark):
     pdf = pd.DataFrame({
         "doc_id": ["e", "d", "f", "u"],
