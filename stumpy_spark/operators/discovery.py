@@ -197,28 +197,46 @@ _OSTINATO_SCHEMA = T.StructType([
 
 
 def ostinato(df: DataFrame, m: int, group_col: str = "source",
-             id_col: str = "doc_id",
-             tokens_col: str = "tokens") -> DataFrame:
+             id_col: str = "doc_id", tokens_col: str = "tokens",
+             max_group_size: int = 64) -> DataFrame:
     """Consensus motif per group of sequences (groupBy + applyInPandas;
-    the group is the reference's list-of-series unit)."""
+    the group is the reference's list-of-series unit, ostinato.py:148-157).
+
+    Scale bound: ``groupBy().applyInPandas`` concentrates a whole group
+    into one task's pandas frame, which OOMs/straggles on zipf-skewed
+    group keys at 100x.  Groups larger than ``max_group_size`` are
+    therefore reduced to a deterministic evenly-spaced subsample of the
+    id-sorted members (loudly, via an emitted ``n_used``/``n_group``
+    count so truncation is never silent) — the consensus motif over a
+    spread sample is the documented approximation.  Pass
+    ``max_group_size=None`` to disable the cap.
+    """
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
+        n_group = len(pdf)
+        if max_group_size is not None and n_group > max_group_size:
+            pick = np.linspace(0, n_group - 1, max_group_size).astype(int)
+            pdf = pdf.iloc[np.unique(pick)]
         Ts = [np.asarray(t, dtype=np.float64) for t in pdf[tokens_col]]
         ids = list(pdf[id_col])
         keep = [i for i, t in enumerate(Ts) if len(t) >= 2 * m]
         if len(keep) < 2:
             return pd.DataFrame(columns=["group", "radius", "doc_id",
-                                         "subseq_idx"])
+                                         "subseq_idx", "n_used",
+                                         "n_group"])
         Ts = [Ts[i] for i in keep]
         ids = [ids[i] for i in keep]
         rad, ts_i, idx = mining.ostinato(Ts, m)
         return pd.DataFrame([(pdf[group_col].iloc[0], rad, ids[ts_i],
-                              idx)],
+                              idx, len(keep), n_group)],
                             columns=["group", "radius", "doc_id",
-                                     "subseq_idx"])
+                                     "subseq_idx", "n_used", "n_group"])
 
+    schema = T.StructType(list(_OSTINATO_SCHEMA.fields)
+                          + [T.StructField("n_used", T.IntegerType()),
+                             T.StructField("n_group", T.IntegerType())])
     return (df.select(group_col, id_col, tokens_col)
-            .groupBy(group_col).applyInPandas(run, schema=_OSTINATO_SCHEMA))
+            .groupBy(group_col).applyInPandas(run, schema=schema))
 
 
 _STIMP_SCHEMA = T.StructType([

@@ -37,13 +37,40 @@ def bucket_spine(tier_df: DataFrame, tier: str,
             F.expr(f"interval {step} seconds"))).alias("bucket"))
 
 
+# Above this estimated row count the aggregated tier is no longer safely
+# broadcastable (multi-year 1m tiers x many sources); fall back to a plain
+# shuffle join on (source, bucket) — an unskewed high-cardinality key.
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _tier_rows_estimate(tier_df: DataFrame) -> float:
+    """Catalyst's row estimate for the tier plan (no job is triggered)."""
+    try:
+        stats = tier_df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return float(str(rc.get()))
+        return float(str(stats.sizeInBytes())) / 64.0
+    except Exception:
+        return float("inf")
+
+
 def gapfill(tier_df: DataFrame, tier: str, start=None, end=None,
-            locf: bool = False) -> DataFrame:
-    """Fill missing buckets: zeros for additive cols, NULL/LOCF for others."""
+            locf: bool = False, broadcast: bool | None = None) -> DataFrame:
+    """Fill missing buckets: zeros for additive cols, NULL/LOCF for others.
+
+    ``broadcast``: force (True/False) the broadcast of the aggregated tier
+    side; default auto — broadcast only when Catalyst's size estimate is
+    under ``BROADCAST_ROW_LIMIT`` rows, else shuffle-join on the unskewed
+    (source, bucket) key and let AQE pick the strategy at runtime.
+    """
     spine = bucket_spine(tier_df, tier, start=start, end=end)
-    # left-outer: only the right (aggregated, post-rollup, small) side can
-    # be broadcast; the dense spine stays partitioned by source
-    filled = spine.join(F.broadcast(tier_df), ["source", "bucket"], "left")
+    if broadcast is None:
+        broadcast = _tier_rows_estimate(tier_df) <= BROADCAST_ROW_LIMIT
+    # left-outer: only the right (aggregated, post-rollup) side can be
+    # broadcast; the dense spine stays partitioned by source
+    right = F.broadcast(tier_df) if broadcast else tier_df
+    filled = spine.join(right, ["source", "bucket"], "left")
     for c in _ZERO_FILL:
         if c in tier_df.columns:
             filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0)))

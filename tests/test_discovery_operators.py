@@ -89,6 +89,35 @@ def test_ostinato_operator(spark):
     assert (res.radius < 1.0).all()
 
 
+def test_ostinato_skewed_group_capped(spark):
+    """A zipf-hot group larger than max_group_size must be subsampled
+    deterministically (bounded task memory), with the truncation reported
+    in n_used/n_group rather than silently applied."""
+    rs = np.random.RandomState(13)
+    motif = rs.uniform(-1000, 1000, 8)
+    rows = []
+    for i in range(40):                      # hot group, 40 >> cap of 8
+        T = rs.uniform(-1000, 1000, 40)
+        T[5:13] = motif + rs.normal(0, 0.01, 8)
+        rows.append(("hot", f"hot_doc{i:03d}", T))
+    for i in range(3):
+        T = rs.uniform(-1000, 1000, 40)
+        T[5:13] = motif + rs.normal(0, 0.01, 8)
+        rows.append(("cold", f"cold_doc{i}", T))
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "tokens"])
+    df = spark.createDataFrame(pdf)
+    res = D.ostinato(df, 8, group_col="source",
+                     max_group_size=8).toPandas().set_index("group")
+    assert res.loc["hot"].n_group == 40 and res.loc["hot"].n_used <= 8
+    assert res.loc["cold"].n_used == 3
+    assert (res.radius < 1.0).all()
+    # deterministic under different partitioning
+    res2 = D.ostinato(df.repartition(7), 8, group_col="source",
+                      max_group_size=8).toPandas().set_index("group")
+    assert res.loc["hot"].doc_id == res2.loc["hot"].doc_id
+    assert res.loc["hot"].subseq_idx == res2.loc["hot"].subseq_idx
+
+
 def test_stimp_operator(spark, seq_df):
     df, raw = seq_df
     res = D.stimp(df, [8, 16]).toPandas()

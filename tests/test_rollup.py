@@ -109,6 +109,35 @@ def test_gapfill_locf(raw):
         "source").max_mean.apply(lambda s: s.isna().sum()).max() == 0
 
 
+def test_gapfill_broadcast_conditional(raw):
+    """broadcast=False must shuffle-join (no BroadcastHashJoin in the plan)
+    and still produce identical rows; broadcast=True must broadcast."""
+    t1h = RT.rollup_tier(raw, "1h")
+
+    def plan_str(df):
+        jvm = df.sparkSession._jvm
+        return jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    spark = t1h.sparkSession
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # with auto-broadcast off, broadcast=False must have NO broadcast
+        # hint anywhere (at 100x the size estimate alone disables it)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        no_bc = gapfill(t1h, "1h", broadcast=False)
+        assert "BroadcastHashJoin" not in plan_str(no_bc)
+        bc = gapfill(t1h, "1h", broadcast=True)
+        assert "BroadcastHashJoin" in plan_str(bc)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    a = no_bc.toPandas().sort_values(["source", "bucket"]) \
+        .reset_index(drop=True)
+    b = bc.toPandas().sort_values(["source", "bucket"]) \
+        .reset_index(drop=True)
+    assert (a.n_seq == b.n_seq).all() and len(a) == len(b)
+
+
 def test_distinct_tokens(spark, raw_pdf):
     df = tokseq.tokseq_df(spark, 400, partitions=4)
     got = RT.distinct_tokens_per_bucket(df, "1d").toPandas()
