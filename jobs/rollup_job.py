@@ -93,13 +93,17 @@ def main() -> None:
         for s in range(args.slices)
     }
 
-    def process(sdf):
+    def process(slice_id, sdf):
         raw = RT.per_sequence_stats_fused(sdf, m=args.m)
         raw = raw.withColumn("bucket", F.date_trunc("minute", "event_ts"))
         out = raw.withColumn("day", F.to_date("bucket"))
-        path = raw_store.path
+        # idempotent slice write: deterministic slice-keyed subdirectory
+        # with overwrite — a crash between this write and the manifest
+        # commit makes the resumed re-run rewrite the same directory
+        # instead of appending duplicate raw rows
+        path = os.path.join(raw_store.path, f"slice={slice_id}")
         (out.repartition("day", "source")
-            .write.mode("append").partitionBy("day", "source")
+            .write.mode("overwrite").partitionBy("day", "source")
             .parquet(path))
         n = sdf.count()
         per_source = {r["source"]: r["cnt"] for r in
@@ -110,8 +114,9 @@ def main() -> None:
     ran = run_with_checkpoints(spark, manifest, args.job_id, slices,
                                process)
 
-    # tier cascade from the materialized raw store
-    raw = spark.read.parquet(raw_store.path).drop("day", "bucket")
+    # tier cascade from the materialized raw store ("slice" is the
+    # partition-discovery column of the slice-keyed layout)
+    raw = spark.read.parquet(raw_store.path).drop("day", "bucket", "slice")
     tiers = RT.cascade(raw, salt_buckets=args.salt_buckets)
     tier_rows = {}
     for tier, tdf in tiers.items():

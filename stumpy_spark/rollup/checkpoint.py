@@ -100,15 +100,23 @@ def pending_slices(spark: SparkSession, manifest: Manifest, job_id: str,
 def run_with_checkpoints(spark: SparkSession, manifest: Manifest,
                          job_id: str, slices: dict[int, DataFrame],
                          process, key_col: str = "doc_id") -> list[int]:
-    """Run `process(slice_df) -> (row_count, metrics)` per pending slice,
-    committing a manifest row after each.  Returns slices actually run."""
+    """Run `process(slice_id, slice_df) -> (row_count, metrics)` per
+    pending slice, committing a manifest row after each.  Returns slices
+    actually run.
+
+    ``process`` receives the slice id so its writes can target a
+    deterministic slice-keyed location with overwrite semantics: a crash
+    between the data write and the manifest commit then makes the re-run
+    idempotent (the slice directory is simply rewritten) instead of
+    silently appending duplicate rows.
+    """
     fingerprints = {s: slice_fingerprint(df, key_col)
                     for s, df in slices.items()}
     todo = pending_slices(spark, manifest, job_id, sorted(slices),
                           fingerprints)
     for s in todo:
         t0 = time.time()
-        row_count, metrics = process(slices[s])
+        row_count, metrics = process(s, slices[s])
         manifest.append(spark, job_id, s, fingerprints[s], row_count,
                         metrics, time.time() - t0)
     return todo

@@ -177,8 +177,12 @@ def stumpi_stream(stream_df, m: int, window_n: int,
             vals.extend(float(v) for v in pdf["value"])
         if state.exists:
             (sm, sn, napp, sT, sP, sI, slP, slI, sQT, buf) = state.get
-            st = state_cls.from_tuple(
+            # an empty stored T is the pre-initialization placeholder
+            # (first window still accumulating across micro-batches) —
+            # rehydrating it as a live state would crash update()
+            st = (state_cls.from_tuple(
                 (sm, sn, napp, sT, sP, sI, slP, slI, sQT))
+                if sT is not None and len(sT) else None)
             buf = list(buf)
         else:
             st, buf = None, []

@@ -47,3 +47,70 @@ def test_distributed_ab_join(spark):
     P, I, _, _ = kernels.matrix_profile(T_A, m, T_B=T_B)
     npt.assert_almost_equal(P[:, 0], got.P.to_numpy(), decimal=10)
     npt.assert_array_equal(I[:, 0], got.I.to_numpy())
+    # AB-join left/right contract: inf / -1 (ignore_trivial=False)
+    assert (got.IL == -1).all() and (got.IR == -1).all()
+    assert np.isinf(got.PL.to_numpy()).all()
+    assert np.isinf(got.PR.to_numpy()).all()
+
+
+def test_distributed_topk_equals_single_task(spark):
+    """k=4 distributed merge vs kernels.matrix_profile(k=4)
+    (tests/test_stumped.py top-k analog)."""
+    rs = np.random.RandomState(17)
+    T = rs.uniform(-1000, 1000, 1500)
+    m, k = 16, 4
+    got = (distributed_matrix_profile(spark, T, m, tile=256, k=k)
+           .toPandas().sort_values("i").reset_index(drop=True))
+    P, I, _, _ = kernels.matrix_profile(T, m, k=k)
+    gotP = np.stack(got.P.to_numpy())
+    gotI = np.stack(got.I.to_numpy())
+    npt.assert_almost_equal(P, gotP, decimal=10)
+    npt.assert_array_equal(I, gotI)
+
+
+def test_distributed_topk_ab_join(spark):
+    rs = np.random.RandomState(19)
+    T_A = rs.uniform(-1000, 1000, 900)
+    T_B = rs.uniform(-1000, 1000, 700)
+    m, k = 12, 3
+    got = (distributed_matrix_profile(spark, T_A, m, tile=128, T_B=T_B,
+                                      k=k)
+           .toPandas().sort_values("i").reset_index(drop=True))
+    P, I, _, _ = kernels.matrix_profile(T_A, m, T_B=T_B, k=k)
+    npt.assert_almost_equal(P, np.stack(got.P.to_numpy()), decimal=10)
+    npt.assert_array_equal(I, np.stack(got.I.to_numpy()))
+
+
+def test_distributed_pnorm_self_and_ab(spark):
+    """normalize=False distributed plan vs kernels.matrix_profile_absolute
+    (aamped.py:334-441 parity), self- and AB-join."""
+    rs = np.random.RandomState(23)
+    T_A = rs.uniform(-1000, 1000, 1200)
+    T_B = rs.uniform(-1000, 1000, 800)
+    m = 15
+    got = (distributed_matrix_profile(spark, T_A, m, tile=256,
+                                      normalize=False)
+           .toPandas().sort_values("i").reset_index(drop=True))
+    P, I, IL, IR = kernels.matrix_profile_absolute(T_A, m)
+    npt.assert_almost_equal(P[:, 0], got.P.to_numpy(), decimal=8)
+    npt.assert_array_equal(I[:, 0], got.I.to_numpy())
+    npt.assert_array_equal(IL, got.IL.to_numpy())
+    npt.assert_array_equal(IR, got.IR.to_numpy())
+    got_ab = (distributed_matrix_profile(spark, T_A, m, tile=256,
+                                         T_B=T_B, normalize=False)
+              .toPandas().sort_values("i").reset_index(drop=True))
+    P2, I2, _, _ = kernels.matrix_profile_absolute(T_A, m, T_B=T_B)
+    npt.assert_almost_equal(P2[:, 0], got_ab.P.to_numpy(), decimal=8)
+    npt.assert_array_equal(I2[:, 0], got_ab.I.to_numpy())
+
+
+def test_distributed_pnorm_p3(spark):
+    rs = np.random.RandomState(29)
+    T = rs.uniform(-10, 10, 600)
+    m = 8
+    got = (distributed_matrix_profile(spark, T, m, tile=128,
+                                      normalize=False, p=3.0)
+           .toPandas().sort_values("i").reset_index(drop=True))
+    P, I, _, _ = kernels.matrix_profile_absolute(T, m, p=3.0)
+    npt.assert_almost_equal(P[:, 0], got.P.to_numpy(), decimal=8)
+    npt.assert_array_equal(I[:, 0], got.I.to_numpy())

@@ -30,6 +30,25 @@ def test_rollup_job_end_to_end_and_resume(tmp_path):
     assert m2["tier_rows"] == m1["tier_rows"]
 
 
+def test_rollup_job_rerun_after_lost_manifest_is_idempotent(tmp_path):
+    """Simulates a crash between the slice data write and the manifest
+    commit: wiping the manifest forces every slice to re-run, and the
+    slice-keyed overwrite layout must leave row counts unchanged (the old
+    append layout would double them)."""
+    import shutil
+    out = str(tmp_path / "rollup_out")
+    common = ["--input", "/root/repo/.fixtures/tokseq_sf0.001",
+              "--output", out, "--slices", "4", "--job-id", "t2",
+              "--cpus", "4"]
+    m1 = _run(common)
+    assert m1["n_docs"] == 1000
+    shutil.rmtree(f"{out}/_manifest")          # lose all commit records
+    m2 = _run(common)
+    assert len(m2["slices_run"]) == 4          # everything re-ran
+    assert m2["n_docs"] == 1000                # ...but no duplicate rows
+    assert m2["tier_rows"] == m1["tier_rows"]
+
+
 def test_package_builds():
     r = subprocess.run([sys.executable, "jobs/rollup_job.py", "--package"],
                        capture_output=True, text=True, cwd="/root/repo")

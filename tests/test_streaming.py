@@ -80,6 +80,57 @@ def test_stumpi_state_roundtrip_serialization():
     npt.assert_array_equal(st.QT, st2.QT)
 
 
+def test_stumpi_streaming_window_split_across_batches(spark, tmp_path):
+    """The initial window arriving over multiple micro-batches must not
+    rehydrate the empty placeholder state as a live StumpiState (which
+    would crash update() on an empty T)."""
+    import time
+    rs = np.random.RandomState(23)
+    n, m, extra = 25, 3, 8
+    series = {f"doc{d}": rs.uniform(-100, 100, n + extra)
+              for d in range(2)}
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def write_batch(name, lo, hi):
+        rows = [(did, pos, float(v))
+                for did, vals in series.items()
+                for pos, v in enumerate(vals) if lo <= pos < hi]
+        pd.DataFrame(rows, columns=["doc_id", "pos", "value"]).to_parquet(
+            indir / name)
+
+    write_batch("batch0.parquet", 0, 10)      # less than window_n
+    time.sleep(1.1)                           # distinct file mtimes
+    write_batch("batch1.parquet", 10, 20)     # still less than window_n
+    time.sleep(1.1)
+    write_batch("batch2.parquet", 20, n + extra)
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(indir)))
+    out = stumpi_stream(stream, m=m, window_n=n)
+    q = (out.writeStream.format("memory").queryName("stumpi_split_out")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_split"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM stumpi_split_out").toPandas()
+    for did, vals in series.items():
+        ora = NaiveStumpiEgress(vals[:n], m)
+        for t in vals[n:]:
+            ora.update(t)
+        rows = res[res.doc_id == did].sort_values("n_seen")
+        assert rows.n_seen.iloc[0] < n          # placeholder batch emitted
+        row = rows.iloc[-1]
+        assert row.n_seen == n + extra
+        npt.assert_almost_equal(ora.P, np.array(row.P), decimal=PRECISION)
+
+
 def test_stumpi_structured_streaming(spark, tmp_path):
     """End-to-end applyInPandasWithState smoke + parity test."""
     rs = np.random.RandomState(11)
