@@ -342,6 +342,54 @@ def stimp_pan(T, m_values, normalize: bool = True, p: float = 2.0):
     return out
 
 
+def pan_transform(pan: dict[int, np.ndarray], M: list[int], width: int,
+                  threshold: float = 0.2, normalize: bool = True,
+                  contrast: bool = True, binary: bool = True,
+                  clip: bool = True) -> np.ndarray:
+    """Transformed pan matrix profile (contract of stimp.py:272-330 +
+    core.py:3214-3273): per-row 1/(2 sqrt(m)) normalization capped at 1,
+    global rank-percentile sigmoid contrast centered on ``threshold``,
+    binarization at ``threshold``, clip to [0, 1], then the "blocky"
+    downward repeat of computed rows over not-yet-computed ones.
+
+    ``pan`` maps window size -> top-1 profile (the processed subset),
+    ``M`` is the full sorted window-size list (rows of the output),
+    ``width`` the profile width at the smallest window.
+    """
+    M = sorted(M)
+    n_rows = len(M)
+    PAN = np.full((n_rows, width), np.inf)
+    row_of = {m: r for r, m in enumerate(M)}
+    idx = np.array(sorted(row_of[m] for m in pan), dtype=np.int64)
+    ms_proc = np.array([M[r] for r in idx], dtype=np.int64)
+    for m, P in pan.items():
+        PAN[row_of[m], :len(P)] = P
+    PAN[PAN == np.inf] = np.nan
+
+    if normalize:
+        norm = 1.0 / (2.0 * np.sqrt(ms_proc))
+        PAN[idx] = np.minimum(1.0, PAN[idx] * norm[:, None])
+    if contrast and len(idx):
+        l = len(idx) * width
+        tmp = PAN[idx].argsort(kind="mergesort", axis=None)
+        ranks = np.empty(l, dtype=np.int64)
+        ranks[tmp] = np.arange(l)
+        percentile = np.linspace(0, 1, l)[ranks].reshape(PAN[idx].shape)
+        PAN[idx] = 1.0 / (1.0 + np.exp(-10 * (percentile - threshold)))
+    if binary:
+        PAN[idx] = np.where(PAN[idx] <= threshold, 0.0, 1.0)
+    if clip:
+        PAN[idx] = np.clip(PAN[idx], 0.0, 1.0)
+
+    # blocky repeat: each computed row fills the uncomputed rows above it
+    if len(idx):
+        nrepeat = np.diff(np.append(-1, idx))
+        PAN[:nrepeat.sum()] = np.repeat(PAN[idx], nrepeat, axis=0)
+        if np.isnan(PAN).any() and not np.isnan(PAN).all():
+            PAN[np.isnan(PAN)] = np.nanmax(PAN)
+    return PAN
+
+
 def bfs_order(values: list[int]) -> list[int]:
     """Level-order traversal of the sorted values (core.py:3072-3211):
     midpoint first, then midpoints of halves — anytime convergence order."""

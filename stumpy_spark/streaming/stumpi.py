@@ -23,8 +23,84 @@ import numpy as np
 from .. import kernels
 
 
+class GrowingStumpiState:
+    """Incremental top-1 matrix profile, growing mode (egress=False) —
+    the reference's default ``stumpi`` behavior (stumpy/stumpi.py:369-443):
+    the history is retained, the profile gains one row per appended point,
+    and indices are absolute stream positions.  After any number of
+    appends, ``P``/``I`` equal the batch ``matrix_profile`` of the full
+    series exactly (every (i, j) pair is offered as a candidate exactly
+    once: at initialization or when the later window appears)."""
+
+    def __init__(self, T: np.ndarray, m: int):
+        T = np.asarray(T, dtype=np.float64)
+        self.m = m
+        self.T = list(map(float, T))
+        P, I, IL, IR, PL, PR = kernels.matrix_profile(
+            T, m, return_left_right_P=True)
+        self.P = P[:, 0].copy()
+        self.I = I[:, 0].copy()
+        self.left_P = PL.copy()
+        self.left_I = IL.copy()
+        self.QT = kernels.sliding_dot_product(T[-m:], T)
+
+    @property
+    def P_(self):
+        return self.P
+
+    @property
+    def I_(self):
+        return self.I
+
+    @property
+    def left_I_(self):
+        return self.left_I
+
+    def update(self, t: float) -> None:
+        """Append one point; the profile grows by one row."""
+        m = self.m
+        self.T.append(float(t))
+        T = np.asarray(self.T)
+        n = len(T)
+        l = n - m + 1                       # window count after append
+        # grow the QT recurrence: new query window = T[n-m:n]
+        QT_new = np.empty(l)
+        QT_new[1:] = self.QT - T[:l - 1] * T[n - m - 1] + T[m:n] * t
+        QT_new[0] = float(T[:m] @ T[n - m:])
+        self.QT = QT_new
+        _, M_T, Sigma_T, isfinite_w, isconstant = kernels.preprocess(T, m)
+        D2 = kernels.squared_distance_profile(
+            self.QT, M_T[-1], Sigma_T[-1], M_T, Sigma_T, m,
+            bool(isconstant[-1]), isconstant, bool(isfinite_w[-1]),
+            isfinite_w)
+        D = np.sqrt(kernels.snap_to_zero(D2))
+        kernels.apply_exclusion_zone(D, l - 1, np.inf,
+                                     kernels.excl_zone(m))
+        improved = D[:l - 1] < self.P
+        self.P = np.where(improved, D[:l - 1], self.P)
+        self.I = np.where(improved, l - 1, self.I)
+        finite = np.isfinite(D)
+        if finite.any():
+            j = int(np.argmin(np.where(finite, D, np.inf)))
+            new_p, new_i = D[j], j
+        else:
+            new_p, new_i = np.inf, -1
+        self.P = np.append(self.P, new_p)
+        self.I = np.append(self.I, new_i)
+        self.left_P = np.append(self.left_P, new_p)
+        self.left_I = np.append(self.left_I, new_i)
+
+
 class StumpiState:
-    """Incremental top-1 matrix profile with egress over one sequence."""
+    """Incremental top-1 matrix profile with egress over one sequence.
+
+    Documented deviation from the reference's egress indexing
+    (stumpy/stumpi.py:290-367): the reference keeps absolute stream
+    indices that may point at already-egressed points; this state keeps
+    window-relative indices (shifted on every slide) and reports dropped
+    neighbors as -1 — chosen so ``I_`` never references data the caller
+    can no longer see.  Use :class:`GrowingStumpiState` for the absolute
+    (egress=False) contract."""
 
     def __init__(self, T: np.ndarray, m: int):
         T = np.asarray(T, dtype=np.float64)

@@ -149,3 +149,62 @@ def test_stimp_pan_and_bfs():
     for m, P in pan.items():
         ref = naive.stump(T, m)[0][:, 0]
         npt.assert_almost_equal(ref, P, decimal=PRECISION)
+
+
+def _naive_pan_transform(pan, M, width, threshold=0.2, normalize=True,
+                         contrast=True, binary=True, clip=True):
+    """Independent loop-based restatement of the stimp.py:272-330 /
+    core.py:3214-3273 transform contract."""
+    M = sorted(M)
+    PAN = np.full((len(M), width), np.nan)
+    for m, P in pan.items():
+        r = M.index(m)
+        PAN[r, :len(P)] = np.where(np.isfinite(P), P, np.nan)
+    rows = sorted(M.index(m) for m in pan)
+    if normalize:
+        for r in rows:
+            PAN[r] = np.minimum(1.0, PAN[r] / (2.0 * np.sqrt(M[r])))
+    if contrast:
+        flat = PAN[rows].ravel()
+        order = np.argsort(flat, kind="mergesort")
+        pct = np.empty(len(flat))
+        lin = np.linspace(0, 1, len(flat))
+        for rank, pos in enumerate(order):
+            pct[pos] = lin[rank]
+        sig = 1.0 / (1.0 + np.exp(-10 * (pct - threshold)))
+        PAN[rows] = sig.reshape(len(rows), width)
+    if binary:
+        for r in rows:
+            PAN[r] = np.where(PAN[r] <= threshold, 0.0, 1.0)
+    if clip:
+        for r in rows:
+            PAN[r] = np.clip(PAN[r], 0.0, 1.0)
+    out = PAN.copy()
+    prev = None
+    for r in range(max(rows), -1, -1):
+        if r in rows:
+            prev = PAN[r]
+        out[r] = prev
+    if np.isnan(out).any() and not np.isnan(out).all():
+        out[np.isnan(out)] = np.nanmax(out)
+    return out
+
+
+def test_pan_transform_matches_naive():
+    rs = np.random.RandomState(31)
+    T = rs.uniform(-100, 100, 90)
+    M = [4, 8, 16, 32]
+    pan = mining.stimp_pan(T, [4, 8, 16])     # 32 not yet processed
+    width = len(T) - min(M) + 1
+    for kwargs in (
+        {},
+        {"binary": False},
+        {"binary": False, "contrast": False},
+        {"binary": False, "contrast": False, "normalize": False},
+        {"threshold": 0.5},
+    ):
+        got = mining.pan_transform(pan, M, width, **kwargs)
+        exp = _naive_pan_transform(pan, M, width, **kwargs)
+        npt.assert_almost_equal(got, exp, decimal=12)
+    full = mining.pan_transform(pan, M, width)
+    assert set(np.unique(full)) <= {0.0, 1.0}

@@ -68,6 +68,29 @@ def test_stumpi_state_matches_incremental_oracle(seed, n, m, updates):
         npt.assert_array_equal(ora.I, st.I, err_msg=f"step {step}")
 
 
+@pytest.mark.parametrize("seed,n,m,updates", [
+    (4, 30, 3, 30),
+    (5, 50, 8, 40),
+])
+def test_growing_stumpi_equals_batch_profile(seed, n, m, updates):
+    """egress=False: after every append the growing profile must equal
+    the batch matrix profile of the full series (absolute indices)."""
+    from stumpy_spark import kernels
+    from stumpy_spark.streaming.stumpi import GrowingStumpiState
+    rs = np.random.RandomState(seed)
+    T0 = rs.uniform(-1000, 1000, n)
+    stream = rs.uniform(-1000, 1000, updates)
+    st = GrowingStumpiState(T0, m)
+    full = list(T0)
+    for step, t in enumerate(stream):
+        st.update(t)
+        full.append(t)
+        P, I, _, _ = kernels.matrix_profile(np.asarray(full), m)
+        npt.assert_almost_equal(P[:, 0], st.P_, decimal=PRECISION,
+                                err_msg=f"step {step}")
+        npt.assert_array_equal(I[:, 0], st.I_, err_msg=f"step {step}")
+
+
 def test_stumpi_state_roundtrip_serialization():
     rs = np.random.RandomState(7)
     st = StumpiState(rs.uniform(-10, 10, 30), 3)
