@@ -119,17 +119,22 @@ def welford_rolling_var(T: np.ndarray, m: int) -> np.ndarray:
     return var
 
 
-def preprocess(T: np.ndarray, m: int):
+def preprocess(T: np.ndarray, m: int, T_subseq_isconstant=None):
     """NaN/inf handling + window stats (contract of core.py:2145-2214).
 
     Returns ``(T_clean, M_T, Sigma_T, isfinite, isconstant)`` where
     ``T_clean`` has non-finite values replaced by 0, stats are computed on
     the cleaned array, windows containing any non-finite are flagged.
+    ``T_subseq_isconstant`` is the user hook (None | bool array |
+    callable(T, m)) resolved by :func:`process_isconstant`.
     """
     T = np.asarray(T, dtype=np.float64).copy()
     isfinite_w = rolling_isfinite(T, m)
     T[~np.isfinite(T)] = np.nan
-    isconstant = _rolling_isconstant_nan(T, m)
+    if T_subseq_isconstant is None:
+        isconstant = _rolling_isconstant_nan(T, m)
+    else:
+        isconstant = process_isconstant(T, m, T_subseq_isconstant)
     T[np.isnan(T)] = 0.0
     M_T, Sigma_T = sliding_mean_std(T, m)
     # Windows with any non-finite value get mean inf (core.py:1092-1093)
@@ -143,6 +148,96 @@ def _rolling_isconstant_nan(T: np.ndarray, m: int) -> np.ndarray:
     out = (sliding_max(Tz, m) - sliding_min(Tz, m)) == 0
     out &= finite
     return out
+
+
+def process_isconstant(T: np.ndarray, m: int,
+                       T_subseq_isconstant=None) -> np.ndarray:
+    """Resolve the user's constant-subsequence spec (contract of
+    core.py:2612-2687 ``rolling_isconstant``/``process_isconstant``):
+    ``None`` -> the default min==max rule; a boolean array -> used as-is
+    (validated); a callable ``f(T, m) -> bool array`` -> invoked.  Windows
+    containing non-finite values are never constant (the reference's
+    ``fix_isconstant_isfinite_conflicts``)."""
+    T = np.asarray(T, dtype=np.float64)
+    l = len(T) - m + 1
+    if T_subseq_isconstant is None:
+        out = _rolling_isconstant_nan(np.where(np.isfinite(T), T, np.nan),
+                                      m)
+    elif callable(T_subseq_isconstant):
+        out = np.asarray(T_subseq_isconstant(T, m))
+        if out.dtype != np.bool_:
+            raise ValueError(
+                "`T_subseq_isconstant` callable must return a boolean "
+                f"array, got dtype {out.dtype}")
+    else:
+        out = np.asarray(T_subseq_isconstant)
+        if out.dtype != np.bool_:
+            raise ValueError(
+                "`T_subseq_isconstant` array must be boolean, got dtype "
+                f"{out.dtype}")
+        out = out.copy()
+    if out.shape != (l,):
+        raise ValueError(
+            f"`T_subseq_isconstant` has shape {out.shape}; expected ({l},)")
+    return out & rolling_isfinite(T, m)
+
+
+def replace_distance(D: np.ndarray, search_val: float, replace_val: float,
+                     epsilon: float = 0.0) -> None:
+    """In-place D[D == search_val - epsilon] = replace_val
+    (core.py:2335-2357)."""
+    D[D == search_val - epsilon] = replace_val
+
+
+def check_P(P: np.ndarray, threshold: float = 1e-6) -> None:
+    """Validate a matrix profile array (contract of core.py ``_check_P``):
+    must be 1-D; warns when suspiciously short."""
+    P = np.asarray(P)
+    if P.ndim != 1:
+        raise ValueError("`P` must be a 1-D array")
+    if P.size <= 2:
+        import warnings
+        warnings.warn("`P` is shorter than 3 values — results may be "
+                      "unreliable")
+
+
+def _z_norm_rows(X: np.ndarray) -> np.ndarray:
+    mu = X.mean(axis=1, keepdims=True)
+    sig = X.std(axis=1, keepdims=True)
+    sig = np.where(sig == 0, 1.0, sig)
+    return (X - mu) / sig
+
+
+def idx_to_mp(I: np.ndarray, T: np.ndarray, m: int, normalize: bool = True,
+              p: float = 2.0, T_subseq_isconstant=None,
+              check_neg: bool = True) -> np.ndarray:
+    """Matrix profile distances from neighbor indices (contract of
+    core.py:2845-2916 ``_idx_to_mp``): d(T[i:i+m], T[I[i]:I[i]+m]) with
+    the z-norm constant-window special cases, inf for non-finite windows
+    and negative (null) indices."""
+    I = np.asarray(I).astype(np.int64)
+    T = np.asarray(T, dtype=np.float64).copy()
+    if check_neg and (I < 0).any():
+        import warnings
+        warnings.warn("negative (null) index values found in `I`; their "
+                      "distances are reported as inf")
+    if normalize:
+        con = process_isconstant(T, m, T_subseq_isconstant)
+    fin_w = rolling_isfinite(T, m)
+    T[~np.isfinite(T)] = 0.0
+    subseqs = np.lib.stride_tricks.sliding_window_view(T, m)
+    nn = subseqs[np.where(I >= 0, I, 0)]
+    if normalize:
+        P = np.linalg.norm(_z_norm_rows(subseqs) - _z_norm_rows(nn),
+                           axis=1)
+        nn_con = con[np.where(I >= 0, I, 0)]
+        P[con & nn_con] = 0.0
+        P[con ^ nn_con] = math.sqrt(m)
+    else:
+        P = np.linalg.norm(subseqs - nn, axis=1, ord=p)
+    P[~fin_w] = np.inf
+    P[I < 0] = np.inf
+    return P
 
 
 # ---------------------------------------------------------------------------
@@ -245,16 +340,19 @@ def mass(
     T_isconstant: np.ndarray | None = None,
     T_isfinite: np.ndarray | None = None,
     query_idx: int | None = None,
+    T_subseq_isconstant=None,
 ) -> np.ndarray:
     """Distance profile of Q against T (contract of core.py:1651-1833).
 
     If ``query_idx`` is given, an exclusion zone around it is set to inf
-    (self-join probe semantics).
+    (self-join probe semantics).  ``T_subseq_isconstant`` is the user
+    constant-window hook (None | bool array | callable(T, m)).
     """
     Q = np.asarray(Q, dtype=np.float64)
     m = Q.shape[0]
     if M_T is None:
-        T_clean, M_T, Sigma_T, T_isfinite, T_isconstant = preprocess(T, m)
+        T_clean, M_T, Sigma_T, T_isfinite, T_isconstant = preprocess(
+            T, m, T_subseq_isconstant)
     else:
         T_clean = np.nan_to_num(np.asarray(T, dtype=np.float64), nan=0.0,
                                 posinf=0.0, neginf=0.0)
@@ -504,6 +602,8 @@ def matrix_profile(
     block_rows: int = 1024,
     return_left_right_P: bool = False,
     compute_left_right: bool = True,
+    T_A_subseq_isconstant=None,
+    T_B_subseq_isconstant=None,
 ):
     """Exact top-k matrix profile, self-join or AB-join.
 
@@ -518,12 +618,13 @@ def matrix_profile(
     returned as -1, matching ignore_trivial=False semantics).
     """
     self_join = T_B is None
-    A, mu_A, sig_A, fin_A, con_A = preprocess(np.asarray(T_A, np.float64), m)
+    A, mu_A, sig_A, fin_A, con_A = preprocess(
+        np.asarray(T_A, np.float64), m, T_A_subseq_isconstant)
     if self_join:
         B, mu_B, sig_B, fin_B, con_B = A, mu_A, sig_A, fin_A, con_A
     else:
         B, mu_B, sig_B, fin_B, con_B = preprocess(
-            np.asarray(T_B, np.float64), m)
+            np.asarray(T_B, np.float64), m, T_B_subseq_isconstant)
 
     la = A.shape[0] - m + 1
     lb = B.shape[0] - m + 1

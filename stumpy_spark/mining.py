@@ -99,17 +99,27 @@ def motifs(T, P, m: int, min_neighbors: int = 1, max_distance=None,
 
 def mpdist(T_A, T_B, m: int, percentage: float = 0.05,
            k: int | None = None, normalize: bool = True,
-           p: float = 2.0) -> float:
+           p: float = 2.0, custom_func=None, mp_func=None) -> float:
     """Join-then-aggregate distance between two whole series
     (mpdist.py:134-254): k-th smallest of the concatenated AB/BA top-1
-    profiles, default k = ceil(0.05 (n_A + n_B))."""
-    if normalize:
+    profiles, default k = ceil(0.05 (n_A + n_B)).
+
+    UDF hooks (core.py:3276-3312 / core.py:2737-2774):
+    ``custom_func(P_ABBA) -> float`` replaces the k-th-smallest selection;
+    ``mp_func(T, m, T_B) -> 1-D AB profile`` replaces the profile kernel.
+    """
+    if mp_func is not None:
+        PAB = np.asarray(mp_func(T_A, m, T_B), dtype=np.float64)
+        PBA = np.asarray(mp_func(T_B, m, T_A), dtype=np.float64)
+    elif normalize:
         PAB = kernels.matrix_profile(T_A, m, T_B=T_B)[0][:, 0]
         PBA = kernels.matrix_profile(T_B, m, T_B=T_A)[0][:, 0]
     else:
         PAB = kernels.matrix_profile_absolute(T_A, m, T_B=T_B, p=p)[0][:, 0]
         PBA = kernels.matrix_profile_absolute(T_B, m, T_B=T_A, p=p)[0][:, 0]
     ABBA = np.sort(np.concatenate([PAB, PBA]))
+    if custom_func is not None:
+        return float(custom_func(ABBA))
     n = len(T_A) + len(T_B)
     if k is None:
         k = min(int(math.ceil(percentage * n)), len(ABBA) - 1)

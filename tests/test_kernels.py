@@ -207,3 +207,76 @@ def test_welford_rolling_var():
     ref = np.array([T[i:i + m].var() for i in range(len(T) - m + 1)])
     comp = kernels.welford_rolling_var(T, m)
     npt.assert_allclose(ref, comp, rtol=1e-9)
+
+
+def test_process_isconstant_hooks():
+    from stumpy_spark import kernels
+    rs = np.random.RandomState(3)
+    T = rs.uniform(-10, 10, 40)
+    T[5:10] = 7.0                       # a genuinely constant window (m=5)
+    m = 5
+    default = kernels.process_isconstant(T, m)
+    assert default[5] and not default[0]
+    # array form
+    arr = np.zeros(len(T) - m + 1, dtype=bool)
+    arr[2] = True
+    got = kernels.process_isconstant(T, m, arr)
+    assert got[2] and not got[5]
+    # callable form
+    got2 = kernels.process_isconstant(
+        T, m, lambda a, w: np.ones(len(a) - w + 1, dtype=bool))
+    assert got2.all()
+    # non-finite windows are never constant, even when the user says so
+    T2 = T.copy()
+    T2[2] = np.nan
+    got3 = kernels.process_isconstant(
+        T2, m, lambda a, w: np.ones(len(a) - w + 1, dtype=bool))
+    assert not got3[0] and not got3[2] and got3[10]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kernels.process_isconstant(T, m, np.zeros(3, dtype=bool))
+    with _pytest.raises(ValueError):
+        kernels.process_isconstant(T, m, np.zeros(len(T) - m + 1))
+
+
+def test_matrix_profile_isconstant_hook():
+    from stumpy_spark import kernels
+    rs = np.random.RandomState(5)
+    T = rs.uniform(-10, 10, 60)
+    m = 8
+    l = len(T) - m + 1
+    mark = np.zeros(l, dtype=bool)
+    mark[10] = True                     # force window 10 "constant"
+    P, I, _, _ = kernels.matrix_profile(T, m, T_A_subseq_isconstant=mark)
+    # exactly-one-constant pairs have distance sqrt(m): window 10's best
+    # neighbor distance is sqrt(m) since no other window is constant
+    assert abs(P[10, 0] - np.sqrt(m)) < 1e-12
+
+
+def test_replace_distance_and_check_P():
+    from stumpy_spark import kernels
+    D = np.array([1.0, np.inf, 3.0, np.inf])
+    kernels.replace_distance(D, np.inf, -1.0)
+    assert (D == np.array([1.0, -1.0, 3.0, -1.0])).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kernels.check_P(np.zeros((2, 2)))
+    kernels.check_P(np.zeros(10))       # no raise
+
+
+def test_idx_to_mp_roundtrip():
+    from stumpy_spark import kernels
+    rs = np.random.RandomState(7)
+    T = rs.uniform(-100, 100, 80)
+    m = 10
+    P, I, _, _ = kernels.matrix_profile(T, m)
+    got = kernels.idx_to_mp(I[:, 0], T, m)
+    npt.assert_almost_equal(got, P[:, 0], decimal=8)
+    Pa, Ia, _, _ = kernels.matrix_profile_absolute(T, m)
+    got_a = kernels.idx_to_mp(Ia[:, 0], T, m, normalize=False)
+    npt.assert_almost_equal(got_a, Pa[:, 0], decimal=8)
+    # negative (null) indices -> inf
+    I2 = I[:, 0].copy()
+    I2[3] = -1
+    got2 = kernels.idx_to_mp(I2, T, m, check_neg=False)
+    assert np.isinf(got2[3])

@@ -208,3 +208,24 @@ def test_pan_transform_matches_naive():
         npt.assert_almost_equal(got, exp, decimal=12)
     full = mining.pan_transform(pan, M, width)
     assert set(np.unique(full)) <= {0.0, 1.0}
+
+
+def test_mpdist_custom_func_and_mp_func():
+    rs = np.random.RandomState(37)
+    A = rs.uniform(-100, 100, 60)
+    B = rs.uniform(-100, 100, 50)
+    m = 8
+    base = mining.mpdist(A, B, m)
+    med = mining.mpdist(A, B, m, custom_func=np.median)
+    PAB = naive.stump(A, m, T_B=B)[0][:, 0]
+    PBA = naive.stump(B, m, T_B=A)[0][:, 0]
+    assert abs(med - np.median(np.sort(np.concatenate([PAB, PBA])))) < 1e-6
+    assert med != base
+    # mp_func injection: an absolute-distance kernel reroutes the profile
+    from stumpy_spark import kernels
+    via_hook = mining.mpdist(
+        A, B, m,
+        mp_func=lambda ta, mm, tb: kernels.matrix_profile_absolute(
+            ta, mm, T_B=tb)[0][:, 0])
+    direct = mining.mpdist(A, B, m, normalize=False)
+    assert abs(via_hook - direct) < 1e-12
