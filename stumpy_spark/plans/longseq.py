@@ -108,11 +108,38 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
                  for c in range(r, n_tiles)]
     else:
         tiles = [(r, c) for r in range(n_tiles) for c in range(nb_tiles)]
-    tiles_df = spark.createDataFrame(
-        pd.DataFrame(tiles, columns=["tr", "tc"]))
-    # spread tiles across the cluster; tile count >> cores keeps AQE happy
-    tiles_df = tiles_df.repartition(
-        min(len(tiles), spark.sparkContext.defaultParallelism * 4))
+
+    # weighted work assignment (the Spark analog of the reference's
+    # per-diagonal work weighting, core.py:2424-2466): tile work = actual
+    # cell count (remainder tiles are smaller; diagonal-crossing tiles
+    # lose the excluded band), greedily LPT-binned so every stage
+    # partition carries near-equal work — no straggler tail at 100x
+    def _work(r, c):
+        h = min(tile, l - r * tile)
+        w = min(tile, lb - c * tile)
+        cells = h * w
+        if self_join and r == c:
+            cells = max(cells // 2, 1)          # upper-triangle + excl band
+        return cells
+
+    n_bins = min(len(tiles), spark.sparkContext.defaultParallelism * 4)
+    order = sorted(range(len(tiles)),
+                   key=lambda t: -_work(*tiles[t]))
+    import heapq
+    heap = [(0, bi) for bi in range(n_bins)]
+    heapq.heapify(heap)
+    bins = [0] * len(tiles)
+    for t in order:
+        load, bi = heapq.heappop(heap)
+        bins[t] = bi
+        heapq.heappush(heap, (load + _work(*tiles[t]), bi))
+    # identity partitioner: bin b -> Spark partition b, exactly (a hash
+    # repartition would collide balanced bins into uneven partitions)
+    pairs = sc.parallelize(
+        [(bins[t], tiles[t]) for t in range(len(tiles))], n_bins)
+    binned = pairs.partitionBy(n_bins, lambda b: b).map(
+        lambda kv: (int(kv[1][0]), int(kv[1][1])))
+    tiles_df = spark.createDataFrame(binned, schema="tr long, tc long")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         (Ta, mu, sig, fin, con), (Tb2, mub, sigb, finb, conb), sj = b.value
