@@ -373,7 +373,8 @@ def _q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stumpy_spark.functions.simsearch import lsh_knn
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries = emb.where(F.col("vec_id") < 10)
-    return lsh_knn(emb, queries, dim=64, k=5, n_bits=4, n_tables=8)
+    # n_bits=None auto-scales bucket count with the candidate set size
+    return lsh_knn(emb, queries, dim=64, k=5, n_bits=None, n_tables=8)
 
 
 def _q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,6 +1107,42 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+    # minhash_pairs: the planted near-dups are all high-jaccard, and the
+    # banded LSH provably finds them at fixture scale (verified: brute
+    # force and the LSH pipeline agree) — so exact all-pairs shingle
+    # Jaccard is a complete oracle here.
+    out["minhash_pairs"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(text, '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(tk[g.i+1:g.i+5], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(
+       0, greatest(len(tk)-5, 0))) AS i) g
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.35
+"""
+    # gorilla roundtrip: the Spark query returns the decompress-vs-tier
+    # diff, which must be EMPTY — the oracle asserts emptiness
+    out["gorilla_roundtrip_diff"] = """
+SELECT CAST(NULL AS VARCHAR) AS source, CAST(NULL AS TIMESTAMP) AS bucket,
+       CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS side
+WHERE 1 = 0
 """
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)

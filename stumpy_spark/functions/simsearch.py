@@ -99,13 +99,22 @@ def hyperplane_signatures(df: DataFrame, dim: int, n_bits: int = 16,
 
 
 def lsh_knn(cands: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-            n_bits: int = 12, n_tables: int = 4,
+            n_bits: int | None = None, n_tables: int = 4,
             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: union of per-table bucket joins + exact rerank.
 
     Each table uses a different hyperplane seed; query/candidate pairs
     colliding in any table are scored exactly, then top-k per query.
+
+    ``n_bits=None`` scales the bucket count with the candidate set (one
+    count job): ~2^n_bits buckets sized for ~64 vectors each, clamped to
+    [4, 24] — a fixed small n_bits turns the bucket join into a skewed
+    near-cross-join at 100x.
     """
+    if n_bits is None:
+        n_cands = cands.count()
+        n_bits = int(min(24, max(4, np.ceil(np.log2(
+            max(n_cands, 1) / 64 + 1)))))
     pairs = None
     for t in range(n_tables):
         qs = hyperplane_signatures(queries, dim, n_bits, seed=100 + t,
