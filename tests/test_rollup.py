@@ -184,7 +184,7 @@ def test_checkpoint_resume(spark, tmp_path):
     manifest = CK.Manifest(str(tmp_path / "manifest"))
     calls = []
 
-    def process(sdf):
+    def process(slice_id, sdf):
         n = sdf.count()
         calls.append(n)
         return n, {"n": n}
