@@ -337,6 +337,43 @@ def _q_snippets_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fraction", "area")
 
 
+def _q_stumpi_growing_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (growing-mode) matrix profile driven point-by-point
+    through the stumpi QT recurrence; for integer tokens the recurrence is
+    exact, so the final profile equals the batch m=8 profile bit-for-bit
+    and shares its DuckDB oracle (the streaming surface's correctness
+    row)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark.streaming.stumpi import GrowingStumpiState
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("min_p", T.DoubleType()),
+        T.StructField("max_p", T.DoubleType()),
+    ])
+    df = _short_docs(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                st = GrowingStumpiState(a[:16], 8)
+                for t in a[16:]:
+                    st.update(float(t))
+                rows.append((did, len(st.P_), float(st.P_.min()),
+                             float(st.P_.max())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "n_windows", "min_p", "max_p"])
+
+    return df.select("doc_id", "tokens").mapInPandas(run, schema=schema)
+
+
 # -- rows-only queries (no SQL-expressible oracle; pytest covers them) ------
 
 def _q_stump_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,6 +454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chains_m8": _q_chains_m8,
     "motif_top1_m8": _q_motif_top1_m8,
     "snippets_m8": _q_snippets_m8,
+    "stumpi_growing_m8": _q_stumpi_growing_m8,
     # rows-only (non-SQL-expressible; validated in tests/ against oracles)
     "stump_summary_m25": _q_stump_summary,
     "minhash_pairs": _q_minhash_pairs,
@@ -1144,6 +1182,9 @@ SELECT CAST(NULL AS VARCHAR) AS source, CAST(NULL AS TIMESTAMP) AS bucket,
        CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS side
 WHERE 1 = 0
 """
+    # growing-mode stumpi converges to the batch profile exactly, so it
+    # shares the stump_m8_short oracle verbatim
+    out["stumpi_growing_m8"] = out["stump_m8_short"]
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)
