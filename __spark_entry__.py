@@ -337,6 +337,83 @@ def _q_snippets_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fraction", "area")
 
 
+def _q_mstump_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional (d=2) matrix profile per doc: dims = (tokens,
+    reversed tokens); for d=2 the column-sorted cumulative mean is
+    SQL-expressible (k=1: least, k=2: (least+greatest)/2), bit-exact with
+    the m=8 integer scheme (mstump.py:538-546 semantics)."""
+    from stumpy_spark.operators.discovery import mstump
+    df = _short_docs(spark, sf_dir)
+    dims = F.array(
+        F.transform("tokens", lambda x: x.cast("double")),
+        F.transform(F.reverse("tokens"), lambda x: x.cast("double")))
+    res = mstump(df.select("doc_id", dims.alias("dims")), 8)
+    return res.select(
+        "doc_id", F.col("kdim").cast("long").alias("kdim"), "min_p",
+        F.col("motif_i").cast("long").alias("motif_i"),
+        F.col("motif_j").cast("long").alias("motif_j"))
+
+
+def _mstump_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+{_win8_cte(glob, 16, 64, prefix="r",
+           val="tq.tokens[len(tq.tokens) - g.i + 1]")},
+dist1 AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM stats a JOIN stats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+dd1 AS (SELECT doc_id, i, j,
+               sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+        FROM dist1),
+dist2 AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM rstats a JOIN rstats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+dd2 AS (SELECT doc_id, i, j,
+               sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+        FROM dist2),
+kd AS (
+    SELECT dd1.doc_id, dd1.i, dd1.j,
+           least(dd1.d, dd2.d) AS p1,
+           (least(dd1.d, dd2.d) + greatest(dd1.d, dd2.d)) / 2 AS p2
+    FROM dd1 JOIN dd2 ON dd1.doc_id = dd2.doc_id AND dd1.i = dd2.i
+          AND dd1.j = dd2.j
+),
+prof AS (SELECT doc_id, i, MIN(p1) AS p1, MIN(p2) AS p2
+         FROM kd GROUP BY doc_id, i),
+mins AS (SELECT doc_id, MIN(p1) AS mp1, MIN(p2) AS mp2
+         FROM prof GROUP BY doc_id),
+mi1 AS (SELECT p.doc_id, MIN(p.i) AS i1 FROM prof p
+        JOIN mins ON p.doc_id = mins.doc_id AND p.p1 = mins.mp1
+        GROUP BY p.doc_id),
+mj1 AS (SELECT kd.doc_id, MIN(kd.j) AS j1 FROM kd
+        JOIN mi1 ON kd.doc_id = mi1.doc_id AND kd.i = mi1.i1
+        JOIN mins ON kd.doc_id = mins.doc_id
+        WHERE kd.p1 = mins.mp1
+        GROUP BY kd.doc_id),
+mi2 AS (SELECT p.doc_id, MIN(p.i) AS i2 FROM prof p
+        JOIN mins ON p.doc_id = mins.doc_id AND p.p2 = mins.mp2
+        GROUP BY p.doc_id),
+mj2 AS (SELECT kd.doc_id, MIN(kd.j) AS j2 FROM kd
+        JOIN mi2 ON kd.doc_id = mi2.doc_id AND kd.i = mi2.i2
+        JOIN mins ON kd.doc_id = mins.doc_id
+        WHERE kd.p2 = mins.mp2
+        GROUP BY kd.doc_id)
+SELECT m.doc_id, 1::BIGINT AS kdim, m.mp1 AS min_p,
+       mi1.i1::BIGINT AS motif_i, mj1.j1::BIGINT AS motif_j
+FROM mins m JOIN mi1 ON m.doc_id = mi1.doc_id
+JOIN mj1 ON m.doc_id = mj1.doc_id
+UNION ALL
+SELECT m.doc_id, 2::BIGINT, m.mp2,
+       mi2.i2::BIGINT, mj2.j2::BIGINT
+FROM mins m JOIN mi2 ON m.doc_id = mi2.doc_id
+JOIN mj2 ON m.doc_id = mj2.doc_id
+"""
+
+
 def _q_stumpi_growing_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (growing-mode) matrix profile driven point-by-point
     through the stumpi QT recurrence; for integer tokens the recurrence is
@@ -455,13 +532,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "motif_top1_m8": _q_motif_top1_m8,
     "snippets_m8": _q_snippets_m8,
     "stumpi_growing_m8": _q_stumpi_growing_m8,
-    # rows-only (non-SQL-expressible; validated in tests/ against oracles)
-    "stump_summary_m25": _q_stump_summary,
-    "minhash_pairs": _q_minhash_pairs,
-    "simhash_pairs": _q_simhash_pairs,
-    "lsh_knn_k5": _q_lsh_knn,
-    "gorilla_roundtrip_diff": _q_gorilla_roundtrip,
+    "mstump_m8": _q_mstump_m8,
+    "minhash_pairs": _q_minhash_pairs,           # brute-Jaccard oracle
+    "simhash_pairs": _q_simhash_pairs,           # brute-hamming oracle
+    "gorilla_roundtrip_diff": _q_gorilla_roundtrip,  # emptiness oracle
     "media_stats": _q_media_stats,
+    # rows-only (approximate / not SQL-expressible; validated in tests/)
+    "stump_summary_m25": _q_stump_summary,
+    "lsh_knn_k5": _q_lsh_knn,
 }
 
 
@@ -533,32 +611,35 @@ GROUP BY source, date_trunc('{trunc}', event_ts)
 # so distances are bit-identical cross-engine: window sums are exact ints,
 # /8 and mu^2 are exact in binary, sqrt/div are IEEE-deterministic.
 
-def _win8_cte(glob: str, lo: int, hi: int) -> str:
-    """tok -> 8-wide windows -> (mu, sig) stats, 0-based window index."""
+def _win8_cte(glob: str, lo: int, hi: int, prefix: str = "",
+              val: str = "tq.tokens[g.i]") -> str:
+    """tok -> 8-wide windows -> (mu, sig) stats, 0-based window index.
+    ``prefix`` renames the CTEs (for multi-dimension oracles); ``val`` is
+    the per-position value expression (e.g. the reversed-array variant)."""
     s = " + ".join(f"t{i}" for i in range(8))
     s2 = " + ".join(f"t{i}*t{i}" for i in range(8))
     return f"""
-tok AS (
-    SELECT doc_id, n_tok, g.i - 1 AS pos, CAST(tokens[g.i] AS BIGINT) AS t
+{prefix}tok AS (
+    SELECT doc_id, n_tok, g.i - 1 AS pos, CAST({val} AS BIGINT) AS t
     FROM read_parquet('{glob}') tq,
          LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
     WHERE n_tok BETWEEN {lo} AND {hi}
 ),
-w AS (
+{prefix}w AS (
     SELECT doc_id, n_tok, pos, t AS t0,
            lead(t, 1) OVER dw AS t1, lead(t, 2) OVER dw AS t2,
            lead(t, 3) OVER dw AS t3, lead(t, 4) OVER dw AS t4,
            lead(t, 5) OVER dw AS t5, lead(t, 6) OVER dw AS t6,
            lead(t, 7) OVER dw AS t7
-    FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+    FROM {prefix}tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
 ),
-stats AS (
+{prefix}stats AS (
     SELECT doc_id, n_tok, pos, t0, t1, t2, t3, t4, t5, t6, t7,
            CAST({s} AS DOUBLE)/8 AS mu,
            sqrt(greatest(CAST({s2} AS DOUBLE)/8
                 - (CAST({s} AS DOUBLE)/8)*(CAST({s} AS DOUBLE)/8), 0.0))
                AS sig
-    FROM w WHERE t7 IS NOT NULL
+    FROM {prefix}w WHERE t7 IS NOT NULL
 )"""
 
 
@@ -1185,6 +1266,7 @@ WHERE 1 = 0
     # growing-mode stumpi converges to the batch profile exactly, so it
     # shares the stump_m8_short oracle verbatim
     out["stumpi_growing_m8"] = out["stump_m8_short"]
+    out["mstump_m8"] = _mstump_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)

@@ -15,9 +15,11 @@ stump / stumped     operators.stump (per-sequence, distributed by rows);
                     kernels.matrix_profile (in-task kernel)
 aamp / aamped       operators.aamp / kernels.matrix_profile_absolute
 mass/mass_absolute  operators.mass / kernels.mass, kernels.mass_absolute
-stumpi / aampi      streaming.StumpiState / streaming.floss.AampiState
+stumpi / aampi      streaming.StumpiState (egress=True) /
+                    streaming.GrowingStumpiState (egress=False, absolute
+                    indices) / streaming.floss.AampiState
                     (+ streaming.stumpi_stream Structured-Streaming
-                    wiring; egress=True semantics)
+                    wiring)
 scrump/prescrump    anytime.Scrump / anytime.prescrump;
 (scraamp twins)     operators.discovery.scrump (DataFrame)
 mstump / mstumped   anytime.multi_matrix_profile;
@@ -35,13 +37,25 @@ snippets            mining.snippets; operators.discovery.snippets
 atsc / allc         mining.atsc / mining.allc;
                     operators.discovery.longest_chain
 stimp / stimped     mining.stimp_pan (+ bfs order);
-                    operators.discovery.stimp
+                    operators.discovery.stimp;
+                    mining.pan_transform (PAN_ normalize/contrast/
+                    binarize/clip transforms, stimp.py:272-330)
 gpu_*               out of scope (CPU Spark); the GPU tiling pattern is
                     plans.longseq's tile decomposition
 ==================  =====================================================
 
+Utilities / extension hooks (SURVEY §2.2, §2.10): kernels.
+process_isconstant (None | bool array | callable(T, m) constant-window
+hook, threaded through preprocess/matrix_profile/mass), kernels.
+idx_to_mp, kernels.replace_distance, kernels.check_P, mining.mpdist's
+``custom_func`` (P_ABBA selector) and ``mp_func`` (profile-kernel
+injection), mining.cac's ``custom_iac``, mining.match's callable
+``max_distance``.
+
 ``normalize=False`` reroutes every normalized op to its p-norm twin as a
-parameter (the reference's @non_normalized decorator, core.py:72-152).
+parameter (the reference's @non_normalized decorator, core.py:72-152);
+plans.longseq.distributed_matrix_profile(normalize=False) is the aamped
+analog, and its ``k`` parameter the distributed top-k (stumped k>1).
 """
 
 from . import anytime, config, kernels, mining  # noqa: F401

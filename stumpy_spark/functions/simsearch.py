@@ -45,7 +45,15 @@ def brute_knn(cands: DataFrame, queries: pd.DataFrame, k: int = 10,
     Returns (query_id, cand_id, score) with ties broken toward the smaller
     cand_id (stable, oracle-friendly).  Set ``round_decimals`` to round
     scores *before* ranking so results are reproducible across engines.
+
+    Scale bound: the query matrix is closure-captured (broadcast with the
+    UDF), so it must fit executor memory — hard-capped at 100k rows.  For
+    larger query sets, batch the queries or use :func:`lsh_knn`.
     """
+    if len(queries) > 100_000:
+        raise ValueError(
+            f"brute_knn broadcasts the query set; {len(queries)} rows "
+            "exceeds the 100k bound — batch the queries or use lsh_knn")
     q_ids = queries[id_col].to_numpy()
     Q = _normalize(np.stack(queries[vec_col].to_numpy()).astype(np.float64))
 
