@@ -414,6 +414,55 @@ JOIN mj2 ON m.doc_id = mj2.doc_id
 """
 
 
+def _q_ostinato_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus motif per source over very short docs (16-18 tokens):
+    the subsequence minimizing the max nearest-neighbor distance to every
+    other doc in the group (ostinato.py:148-278).  Early-abandonment only
+    prunes non-winners, so the result is the exact global argmin — fully
+    SQL-expressible at this scale."""
+    from stumpy_spark.operators.discovery import ostinato
+    df = _short_docs(spark, sf_dir, lo=16, hi=18)
+    res = ostinato(df, 8, group_col="source", max_group_size=None)
+    return res.select(
+        "group", "radius", "doc_id",
+        F.col("subseq_idx").cast("long").alias("subseq_idx"))
+
+
+def _ostinato_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 16, 18)},
+src AS (SELECT doc_id, source FROM read_parquet('{glob}')
+        WHERE n_tok BETWEEN 16 AND 18),
+st AS (SELECT s.*, src.source FROM stats s JOIN src USING (doc_id)),
+-- min distance of each window q (of doc a) to every OTHER doc b in group
+cross_d AS (
+    SELECT a.source, a.doc_id AS doc_a, a.pos AS q, b.doc_id AS doc_b,
+           MIN(sqrt(CASE WHEN {_d2_expr('a', 'b')} < 1e-14 THEN 0.0
+                         ELSE {_d2_expr('a', 'b')} END)) AS mind
+    FROM st a JOIN st b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+    GROUP BY a.source, a.doc_id, a.pos, b.doc_id
+),
+radii AS (
+    SELECT source, doc_a, q, MAX(mind) AS radius,
+           COUNT(*) AS n_others
+    FROM cross_d GROUP BY source, doc_a, q
+),
+ndocs AS (SELECT source, COUNT(DISTINCT doc_id) AS k FROM src
+          GROUP BY source),
+-- keep only windows whose doc group has >= 2 docs (ostinato guard)
+best AS (
+    SELECT r.source, r.doc_a, r.q, r.radius,
+           row_number() OVER (PARTITION BY r.source
+                              ORDER BY r.radius, r.doc_a, r.q) AS rnk
+    FROM radii r JOIN ndocs n ON r.source = n.source
+    WHERE n.k >= 2 AND r.n_others = n.k - 1
+)
+SELECT source AS "group", radius, doc_a AS doc_id, q::BIGINT AS subseq_idx
+FROM best WHERE rnk = 1
+"""
+
+
 def _q_stumpi_growing_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (growing-mode) matrix profile driven point-by-point
     through the stumpi QT recurrence; for integer tokens the recurrence is
@@ -533,6 +582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snippets_m8": _q_snippets_m8,
     "stumpi_growing_m8": _q_stumpi_growing_m8,
     "mstump_m8": _q_mstump_m8,
+    "ostinato_m8": _q_ostinato_m8,
     "minhash_pairs": _q_minhash_pairs,           # brute-Jaccard oracle
     "simhash_pairs": _q_simhash_pairs,           # brute-hamming oracle
     "gorilla_roundtrip_diff": _q_gorilla_roundtrip,  # emptiness oracle
@@ -1267,6 +1317,7 @@ WHERE 1 = 0
     # shares the stump_m8_short oracle verbatim
     out["stumpi_growing_m8"] = out["stump_m8_short"]
     out["mstump_m8"] = _mstump_sql(glob)
+    out["ostinato_m8"] = _ostinato_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)
