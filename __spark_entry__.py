@@ -463,6 +463,77 @@ FROM best WHERE rnk = 1
 """
 
 
+def _q_stimp_m4_8_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pan matrix profile summary over window sizes 4/8/16 (all powers of
+    two, so every m is bit-exact in the integer scheme), computed in the
+    reference's BFS order (stimp.py:42-121)."""
+    from stumpy_spark.operators.discovery import stimp
+    df = _short_docs(spark, sf_dir)
+    res = stimp(df, [4, 8, 16])
+    return res.select("doc_id", F.col("m").cast("long").alias("m"),
+                      "min_p", "max_p")
+
+
+def _stimp_block(glob: str, m: int, lo: int, hi: int, prefix: str) -> str:
+    import math as _math
+    ez = _math.ceil(m / 4)
+    return f"""{_win_cte(glob, lo, hi, m, prefix=prefix)},
+{prefix}dist AS (
+    SELECT a.doc_id, a.pos AS i, {_d2_expr_m('a', 'b', m)} AS d2
+    FROM {prefix}stats a JOIN {prefix}stats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > {ez}
+),
+{prefix}prof AS (
+    SELECT doc_id, i,
+           MIN(sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END)) AS p
+    FROM {prefix}dist GROUP BY doc_id, i
+),
+{prefix}agg AS (
+    SELECT doc_id, {m}::BIGINT AS m, MIN(p) AS min_p, MAX(p) AS max_p
+    FROM {prefix}prof GROUP BY doc_id
+)"""
+
+
+def _stimp_sql(glob: str) -> str:
+    return f"""
+WITH {_stimp_block(glob, 4, 16, 64, 'a4')},
+{_stimp_block(glob, 8, 16, 64, 'a8')},
+{_stimp_block(glob, 16, 32, 64, 'a16')}
+SELECT * FROM a4agg
+UNION ALL SELECT * FROM a8agg
+UNION ALL SELECT * FROM a16agg
+"""
+
+
+def _q_scrump_full_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCRIMP++ anytime profile run to 100% coverage: the random diagonal
+    order no longer matters (elementwise min of bit-identical distances),
+    so the converged profile equals the exact batch profile and shares
+    its bit-exact oracle (scrump.py:650-1139 semantics)."""
+    from stumpy_spark.operators.discovery import scrump
+    df = _short_docs(spark, sf_dir)
+    res = scrump(df, 8, percentage=1.0, pre_scrump=False, rounds=1)
+    return res.select(
+        "doc_id", F.col("n_windows").cast("long").alias("n_windows"),
+        "approx_min_p",
+        F.col("approx_motif_i").cast("long").alias("approx_motif_i"))
+
+
+def _scrump_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+{_prof_cte()},
+mn AS (SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+              MIN(p) AS approx_min_p
+       FROM prof GROUP BY doc_id)
+SELECT mn.doc_id, mn.n_windows, mn.approx_min_p,
+       (SELECT MIN(p2.i) FROM prof p2
+        WHERE p2.doc_id = mn.doc_id AND p2.p = mn.approx_min_p)::BIGINT
+           AS approx_motif_i
+FROM mn
+"""
+
+
 def _q_stumpi_growing_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (growing-mode) matrix profile driven point-by-point
     through the stumpi QT recurrence; for integer tokens the recurrence is
@@ -583,6 +654,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stumpi_growing_m8": _q_stumpi_growing_m8,
     "mstump_m8": _q_mstump_m8,
     "ostinato_m8": _q_ostinato_m8,
+    "stimp_m4_8_16": _q_stimp_m4_8_16,
+    "scrump_full_m8": _q_scrump_full_m8,
     "minhash_pairs": _q_minhash_pairs,           # brute-Jaccard oracle
     "simhash_pairs": _q_simhash_pairs,           # brute-hamming oracle
     "gorilla_roundtrip_diff": _q_gorilla_roundtrip,  # emptiness oracle
@@ -661,13 +734,16 @@ GROUP BY source, date_trunc('{trunc}', event_ts)
 # so distances are bit-identical cross-engine: window sums are exact ints,
 # /8 and mu^2 are exact in binary, sqrt/div are IEEE-deterministic.
 
-def _win8_cte(glob: str, lo: int, hi: int, prefix: str = "",
-              val: str = "tq.tokens[g.i]") -> str:
-    """tok -> 8-wide windows -> (mu, sig) stats, 0-based window index.
-    ``prefix`` renames the CTEs (for multi-dimension oracles); ``val`` is
-    the per-position value expression (e.g. the reversed-array variant)."""
-    s = " + ".join(f"t{i}" for i in range(8))
-    s2 = " + ".join(f"t{i}*t{i}" for i in range(8))
+def _win_cte(glob: str, lo: int, hi: int, m: int = 8, prefix: str = "",
+             val: str = "tq.tokens[g.i]") -> str:
+    """tok -> m-wide windows -> (mu, sig) stats, 0-based window index.
+    Bit-exact only for power-of-2 ``m`` (mu = ws/m exact in binary).
+    ``prefix`` renames the CTEs (for multi-dimension / multi-m oracles);
+    ``val`` is the per-position value expression (e.g. reversed array)."""
+    leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, m))
+    s = " + ".join(f"t{i}" for i in range(m))
+    s2 = " + ".join(f"t{i}*t{i}" for i in range(m))
+    cols = ", ".join(f"t{i}" for i in range(m))
     return f"""
 {prefix}tok AS (
     SELECT doc_id, n_tok, g.i - 1 AS pos, CAST({val} AS BIGINT) AS t
@@ -676,33 +752,38 @@ def _win8_cte(glob: str, lo: int, hi: int, prefix: str = "",
     WHERE n_tok BETWEEN {lo} AND {hi}
 ),
 {prefix}w AS (
-    SELECT doc_id, n_tok, pos, t AS t0,
-           lead(t, 1) OVER dw AS t1, lead(t, 2) OVER dw AS t2,
-           lead(t, 3) OVER dw AS t3, lead(t, 4) OVER dw AS t4,
-           lead(t, 5) OVER dw AS t5, lead(t, 6) OVER dw AS t6,
-           lead(t, 7) OVER dw AS t7
+    SELECT doc_id, n_tok, pos, t AS t0, {leads}
     FROM {prefix}tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
 ),
 {prefix}stats AS (
-    SELECT doc_id, n_tok, pos, t0, t1, t2, t3, t4, t5, t6, t7,
-           CAST({s} AS DOUBLE)/8 AS mu,
-           sqrt(greatest(CAST({s2} AS DOUBLE)/8
-                - (CAST({s} AS DOUBLE)/8)*(CAST({s} AS DOUBLE)/8), 0.0))
-               AS sig
-    FROM {prefix}w WHERE t7 IS NOT NULL
+    SELECT doc_id, n_tok, pos, {cols},
+           CAST({s} AS DOUBLE)/{m} AS mu,
+           sqrt(greatest(CAST({s2} AS DOUBLE)/{m}
+                - (CAST({s} AS DOUBLE)/{m})*(CAST({s} AS DOUBLE)/{m}),
+                0.0)) AS sig
+    FROM {prefix}w WHERE t{m - 1} IS NOT NULL
 )"""
 
 
-def _d2_expr(a: str, b: str) -> str:
+def _win8_cte(glob: str, lo: int, hi: int, prefix: str = "",
+              val: str = "tq.tokens[g.i]") -> str:
+    return _win_cte(glob, lo, hi, 8, prefix, val)
+
+
+def _d2_expr_m(a: str, b: str, m: int) -> str:
     """Squared z-norm distance between windows of relations a and b, with
     the kernel's constant-window special cases and rho clamp."""
-    dot = " + ".join(f"{a}.t{i}*{b}.t{i}" for i in range(8))
+    dot = " + ".join(f"{a}.t{i}*{b}.t{i}" for i in range(m))
     return f"""CASE WHEN {a}.sig = 0 AND {b}.sig = 0 THEN 0.0
-                WHEN {a}.sig = 0 OR {b}.sig = 0 THEN 8.0
+                WHEN {a}.sig = 0 OR {b}.sig = 0 THEN {float(m)}
                 ELSE abs((least((CAST({dot} AS DOUBLE)
-                     - (8*{a}.mu)*{b}.mu)
-                     / greatest((8*{a}.sig)*{b}.sig, 1e-14), 1.0)
-                     - 1.0) * -16.0) END"""
+                     - ({m}*{a}.mu)*{b}.mu)
+                     / greatest(({m}*{a}.sig)*{b}.sig, 1e-14), 1.0)
+                     - 1.0) * -{float(2 * m)}) END"""
+
+
+def _d2_expr(a: str, b: str) -> str:
+    return _d2_expr_m(a, b, 8)
 
 
 def _prof_cte() -> str:
@@ -1318,6 +1399,8 @@ WHERE 1 = 0
     out["stumpi_growing_m8"] = out["stump_m8_short"]
     out["mstump_m8"] = _mstump_sql(glob)
     out["ostinato_m8"] = _ostinato_sql(glob)
+    out["stimp_m4_8_16"] = _stimp_sql(glob)
+    out["scrump_full_m8"] = _scrump_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)
