@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the Catalyst properties the engine's 100 TB
+story depends on (column pruning to the scan, predicate pushdown,
+partial/final aggregation, no raw payloads in shuffles) must hold in the
+actual plans, not just in docstrings."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def tokseq(spark):
+    from stumpy_spark.sources.tokseq import read_tokseq
+    return read_tokseq(spark, SF)
+
+
+def test_sliding_stats_scan_prunes_columns(tokseq):
+    """The kernel stage needs only (doc_id, tokens): the parquet scan must
+    not read source/event_ts/n_tok."""
+    from stumpy_spark.operators import sliding_stats
+    plan = plan_str(sliding_stats(tokseq, 25).select("doc_id", "max_mean"))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    rs = scan[0]
+    assert "tokens" in rs and "doc_id" in rs
+    assert "event_ts" not in rs and "source" not in rs
+
+
+def test_events_filter_pushdown(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = (ev.where(F.col("event_type") == "click")
+         .groupBy(F.date_trunc("hour", "ts").alias("b"))
+         .agg(F.sum("value").alias("s")))
+    plan = plan_str(q)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert "EqualTo(event_type,click)" in pushed[0], pushed[0]
+
+
+def test_rollup_partial_final_aggregation(tokseq):
+    """Tier aggregation must be a map-side partial + final HashAggregate
+    pair around a single hash exchange on the grouping key."""
+    from stumpy_spark.rollup import tiers as RT
+    raw = RT.per_sequence_stats_fused(tokseq, m=25)
+    plan = plan_str(RT.rollup_tier(raw, "1h"))
+    assert plan.count("HashAggregate") >= 2, plan
+    ex_args = [ln for ln in plan.splitlines()
+               if "hashpartitioning" in ln]
+    assert ex_args and "source" in ex_args[0], plan
+
+
+def test_dedup_exact_shuffles_hash_not_text(spark):
+    """The dedup groupBy must shuffle md5 hashes, never the raw text."""
+    from stumpy_spark.functions.dedup import exact_dedup_stats
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_str(exact_dedup_stats(docs))
+    lines = plan.splitlines()
+    ex_idx = [i for i, ln in enumerate(lines)
+              if ln.strip().startswith("(") and "Exchange" in ln]
+    assert ex_idx, plan
+    # the Exchange nodes' Output/Arguments must not carry the text column
+    for i in ex_idx:
+        block = "\n".join(lines[i:i + 4])
+        assert "text#" not in block, block
+
+
+def test_kernel_stage_is_zero_shuffle(tokseq):
+    """per_sequence_stats_fused (the kernel scan) must contain no Exchange
+    at all — one mapInPandas over the scan."""
+    from stumpy_spark.rollup import tiers as RT
+    plan = plan_str(RT.per_sequence_stats_fused(tokseq, m=25))
+    assert "Exchange" not in plan, plan
