@@ -534,6 +534,44 @@ FROM mn
 """
 
 
+def _q_prescrump_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRESCRIMP sampled-query approximate profile (scrump.py:507-649):
+    with s = excl_zone = 2, P[x] = min over pairs (j, x) where j or x is
+    an even (sampled) position and |j-x| > 2 — deterministic and
+    SQL-expressible."""
+    from stumpy_spark.operators.discovery import scrump
+    df = _short_docs(spark, sf_dir)
+    res = scrump(df, 8, percentage=1.0, pre_scrump=True, rounds=0)
+    return res.select(
+        "doc_id", F.col("n_windows").cast("long").alias("n_windows"),
+        "approx_min_p",
+        F.col("approx_motif_i").cast("long").alias("approx_motif_i"))
+
+
+def _prescrump_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+dist AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM stats a JOIN stats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+     AND (a.pos % 2 = 0 OR b.pos % 2 = 0)
+),
+dd AS (SELECT doc_id, i, j,
+              sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+       FROM dist),
+prof AS (SELECT doc_id, i, MIN(d) AS p FROM dd GROUP BY doc_id, i),
+mn AS (SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+              MIN(p) AS approx_min_p
+       FROM prof GROUP BY doc_id)
+SELECT mn.doc_id, mn.n_windows, mn.approx_min_p,
+       (SELECT MIN(p2.i) FROM prof p2
+        WHERE p2.doc_id = mn.doc_id AND p2.p = mn.approx_min_p)::BIGINT
+           AS approx_motif_i
+FROM mn
+"""
+
+
 def _q_stumpi_growing_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (growing-mode) matrix profile driven point-by-point
     through the stumpi QT recurrence; for integer tokens the recurrence is
@@ -656,6 +694,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ostinato_m8": _q_ostinato_m8,
     "stimp_m4_8_16": _q_stimp_m4_8_16,
     "scrump_full_m8": _q_scrump_full_m8,
+    "prescrump_m8": _q_prescrump_m8,
     "minhash_pairs": _q_minhash_pairs,           # brute-Jaccard oracle
     "simhash_pairs": _q_simhash_pairs,           # brute-hamming oracle
     "gorilla_roundtrip_diff": _q_gorilla_roundtrip,  # emptiness oracle
@@ -1401,6 +1440,7 @@ WHERE 1 = 0
     out["ostinato_m8"] = _ostinato_sql(glob)
     out["stimp_m4_8_16"] = _stimp_sql(glob)
     out["scrump_full_m8"] = _scrump_sql(glob)
+    out["prescrump_m8"] = _prescrump_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)
