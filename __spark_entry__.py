@@ -609,6 +609,17 @@ def _q_stumpi_growing_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "tokens").mapInPandas(run, schema=schema)
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: metadata-only expansion of each
+    video row into frame timestamps (the blob column never scanned)."""
+    from stumpy_spark.functions import multimodal as MM
+    media = spark.read.parquet(MM.ensure_media_fixture(spark, 300))
+    frames = MM.frame_sample_plan(media, every_ms=1000)
+    return (frames.groupBy("media_id")
+            .agg(F.count("*").cast("long").alias("n_frames"),
+                 F.max("frame_ts_ms").cast("long").alias("max_ts_ms")))
+
+
 # -- rows-only queries (no SQL-expressible oracle; pytest covers them) ------
 
 def _q_stump_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,6 +710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": _q_simhash_pairs,           # brute-hamming oracle
     "gorilla_roundtrip_diff": _q_gorilla_roundtrip,  # emptiness oracle
     "media_stats": _q_media_stats,
+    "media_frames": _q_media_frames,
     # rows-only (approximate / not SQL-expressible; validated in tests/)
     "stump_summary_m25": _q_stump_summary,
     "lsh_knn_k5": _q_lsh_knn,
@@ -1454,6 +1466,14 @@ SELECT mime, COUNT(*)::BIGINT AS n_media,
        AVG(CAST(duration_ms AS DOUBLE)) AS avg_duration_ms
 FROM read_parquet('{media_glob}')
 GROUP BY mime
+"""
+    out["media_frames"] = f"""
+SELECT media_id,
+       len(generate_series(0, greatest(duration_ms - 1, 0), 1000))::BIGINT
+           AS n_frames,
+       (greatest(duration_ms - 1, 0) // 1000 * 1000)::BIGINT AS max_ts_ms
+FROM read_parquet('{media_glob}')
+WHERE mime LIKE 'video/%'
 """
     return out
 
