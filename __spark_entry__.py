@@ -609,6 +609,70 @@ def _q_stumpi_growing_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "tokens").mapInPandas(run, schema=schema)
 
 
+def _q_incremental_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data upsert end-to-end: 2/3 of the docs roll up first, the
+    rest arrive "late" through the idempotent partition-overwrite upsert
+    (rollup/incremental.py) — the stored 1h tier must then equal a full
+    batch recompute, so the plain rollup_1h SQL is its oracle."""
+    import tempfile
+    from pyspark.sql import functions as F2
+    from stumpy_spark.rollup import tiers as RT
+    from stumpy_spark.rollup.incremental import (upsert_late_rows,
+                                                 _with_partition_cols)
+    from stumpy_spark.rollup.retention import TierStore
+
+    root = tempfile.mkdtemp(prefix="spark_tsmp_incr_")
+    df = _tokseq(spark, sf_dir)
+    is_late = F2.pmod(F2.xxhash64("doc_id"), F2.lit(3)) == 0
+    on_time, late = df.where(~is_late), df.where(is_late)
+
+    raw_store = TierStore(root, "raw")
+    raw = _with_partition_cols(
+        RT.per_sequence_stats_fused(on_time, m=M_DEFAULT))
+    (raw.repartition("day", "source")
+     .write.mode("append").partitionBy("day", "source")
+     .parquet(raw_store.path))
+    for tier, tdf in RT.cascade(raw.drop("day")).items():
+        part = tdf.withColumn("day", F2.to_date("bucket"))
+        (part.repartition("day", "source")
+         .write.mode("overwrite").partitionBy("day", "source")
+         .parquet(TierStore(root, tier).path))
+
+    upsert_late_rows(spark, root, late, m=M_DEFAULT)
+
+    t1h = spark.read.parquet(TierStore(root, "1h").path)
+    return t1h.select(
+        "source", F.col("bucket").cast("string").alias("bucket"),
+        F.col("n_seq").cast("long").alias("n_seq"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+        F.col("min_n_tok").cast("long").alias("min_n_tok"),
+        F.col("max_n_tok").cast("long").alias("max_n_tok"),
+        F.col("sum_window_sums").cast("long").alias("sum_window_sums"),
+        "min_mean", "max_mean")
+
+
+def _q_retention_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention end-to-end: materialize the 1h tier partitioned by
+    (day, source), expire day-partitions older than a fixed horizon
+    (O(1) partition drops, no row deletes), read back — must equal the
+    batch rollup filtered to the surviving days."""
+    import tempfile
+    from datetime import datetime
+    from stumpy_spark.rollup import tiers as RT
+    from stumpy_spark.rollup.retention import TierStore
+
+    root = tempfile.mkdtemp(prefix="spark_tsmp_ret_")
+    raw = RT.per_sequence_stats_fused(_tokseq(spark, sf_dir), m=M_DEFAULT)
+    store = TierStore(root, "1h")
+    store.write(RT.rollup_tier(raw, "1h"))
+    # fixture spans 2025-01-01..08; keep the last 4 days
+    store.expire(datetime(2025, 1, 8), horizon_seconds=4 * 86400)
+    return store.read(spark).select(
+        "source", F.col("bucket").cast("string").alias("bucket"),
+        F.col("n_seq").cast("long").alias("n_seq"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"))
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: metadata-only expansion of each
     video row into frame timestamps (the blob column never scanned)."""
@@ -711,6 +775,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gorilla_roundtrip_diff": _q_gorilla_roundtrip,  # emptiness oracle
     "media_stats": _q_media_stats,
     "media_frames": _q_media_frames,
+    "incremental_rollup_1h": _q_incremental_rollup_1h,
+    "retention_1h": _q_retention_1h,
     # rows-only (approximate / not SQL-expressible; validated in tests/)
     "stump_summary_m25": _q_stump_summary,
     "lsh_knn_k5": _q_lsh_knn,
@@ -1055,6 +1121,18 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "rollup_1m": _rollup_sql("minute", glob),
         "rollup_1h": _rollup_sql("hour", glob),
+        "incremental_rollup_1h": _rollup_sql("hour", glob),
+        "retention_1h": f"""
+WITH {_PERDOC_CTE.format(glob=glob, m=M_DEFAULT, m_minus_1=M_DEFAULT - 1)}
+SELECT source,
+       CAST(CAST(date_trunc('hour', event_ts) AS TIMESTAMP) AS VARCHAR)
+           AS bucket,
+       COUNT(*)::BIGINT AS n_seq,
+       SUM(n_tok)::BIGINT AS sum_n_tok
+FROM perdoc
+WHERE CAST(date_trunc('day', event_ts) AS DATE) >= DATE '2025-01-04'
+GROUP BY source, date_trunc('hour', event_ts)
+""",
         "rollup_1h_salted": _rollup_sql("hour", glob),
         "rollup_1d": _rollup_sql("day", glob),
         "gapfill_1h": f"""
