@@ -673,6 +673,37 @@ def _q_retention_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_n_tok").cast("long").alias("sum_n_tok"))
 
 
+def _q_sliding_minmax_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Van Herk two-pass sliding min/max kernels (core rolling_nanmin/
+    nanmax contract) — integer-exact window extrema sums per doc."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark import kernels
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("sum_win_min", T.LongType()),
+        T.StructField("sum_win_max", T.LongType()),
+    ])
+    df = _short_docs(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                mn = kernels.sliding_min(a, 8)
+                mx = kernels.sliding_max(a, 8)
+                rows.append((did, int(mn.sum()), int(mx.sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "sum_win_min", "sum_win_max"])
+
+    return df.select("doc_id", "tokens").mapInPandas(run, schema=schema)
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: metadata-only expansion of each
     video row into frame timestamps (the blob column never scanned)."""
@@ -777,6 +808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": _q_media_frames,
     "incremental_rollup_1h": _q_incremental_rollup_1h,
     "retention_1h": _q_retention_1h,
+    "sliding_minmax_m8": _q_sliding_minmax_m8,
     # rows-only (approximate / not SQL-expressible; validated in tests/)
     "stump_summary_m25": _q_stump_summary,
     "lsh_knn_k5": _q_lsh_knn,
@@ -1544,6 +1576,25 @@ SELECT mime, COUNT(*)::BIGINT AS n_media,
        AVG(CAST(duration_ms AS DOUBLE)) AS avg_duration_ms
 FROM read_parquet('{media_glob}')
 GROUP BY mime
+"""
+    out["sliding_minmax_m8"] = f"""
+WITH tok AS (
+    SELECT doc_id, n_tok, g.i - 1 AS pos, CAST(tokens[g.i] AS BIGINT) AS t
+    FROM read_parquet('{glob}') tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+    WHERE n_tok BETWEEN 16 AND 64
+),
+win AS (
+    SELECT doc_id, pos,
+           MIN(t) OVER w AS wmin, MAX(t) OVER w AS wmax,
+           COUNT(*) OVER w AS wcnt
+    FROM tok
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+)
+SELECT doc_id, SUM(wmin)::BIGINT AS sum_win_min,
+       SUM(wmax)::BIGINT AS sum_win_max
+FROM win WHERE wcnt = 8 GROUP BY doc_id
 """
     out["media_frames"] = f"""
 SELECT media_id,
