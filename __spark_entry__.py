@@ -704,6 +704,54 @@ def _q_sliding_minmax_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "tokens").mapInPandas(run, schema=schema)
 
 
+def _q_stump_leftright_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left/right top-1 neighbor indices (stump.py:232-241 semantics):
+    per-doc aggregates over IL/IR including the -1 no-neighbor rows."""
+    from stumpy_spark.operators import stump
+    prof = stump(_short_docs(spark, sf_dir), 8)
+    return (prof.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("IL") == -1, 1).otherwise(0))
+        .cast("long").alias("n_no_left"),
+        F.sum(F.when(F.col("IR") == -1, 1).otherwise(0))
+        .cast("long").alias("n_no_right"),
+        F.sum("IL").cast("long").alias("sum_il"),
+        F.sum("IR").cast("long").alias("sum_ir")))
+
+
+def _leftright_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+{_prof_cte()},
+lw AS (SELECT doc_id, COUNT(*) AS l FROM prof GROUP BY doc_id),
+profl AS (SELECT doc_id, i, MIN(d) AS p FROM dd WHERE j < i
+          GROUP BY doc_id, i),
+il AS (SELECT dd.doc_id, dd.i, MIN(dd.j) AS lft
+       FROM dd JOIN profl ON dd.doc_id = profl.doc_id AND dd.i = profl.i
+            AND dd.d = profl.p AND dd.j < dd.i
+       GROUP BY dd.doc_id, dd.i),
+profr AS (SELECT doc_id, i, MIN(d) AS p FROM dd WHERE j > i
+          GROUP BY doc_id, i),
+ir AS (SELECT dd.doc_id, dd.i, MIN(dd.j) AS rgt
+       FROM dd JOIN profr ON dd.doc_id = profr.doc_id AND dd.i = profr.i
+            AND dd.d = profr.p AND dd.j > dd.i
+       GROUP BY dd.doc_id, dd.i),
+lagg AS (SELECT doc_id, COUNT(*) AS nl, SUM(lft) AS sl FROM il
+         GROUP BY doc_id),
+ragg AS (SELECT doc_id, COUNT(*) AS nr, SUM(rgt) AS sr FROM ir
+         GROUP BY doc_id)
+SELECT lw.doc_id,
+       (lw.l - COALESCE(lagg.nl, 0))::BIGINT AS n_no_left,
+       (lw.l - COALESCE(ragg.nr, 0))::BIGINT AS n_no_right,
+       (COALESCE(lagg.sl, 0) - (lw.l - COALESCE(lagg.nl, 0)))::BIGINT
+           AS sum_il,
+       (COALESCE(ragg.sr, 0) - (lw.l - COALESCE(ragg.nr, 0)))::BIGINT
+           AS sum_ir
+FROM lw
+LEFT JOIN lagg ON lw.doc_id = lagg.doc_id
+LEFT JOIN ragg ON lw.doc_id = ragg.doc_id
+"""
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: metadata-only expansion of each
     video row into frame timestamps (the blob column never scanned)."""
@@ -809,6 +857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_rollup_1h": _q_incremental_rollup_1h,
     "retention_1h": _q_retention_1h,
     "sliding_minmax_m8": _q_sliding_minmax_m8,
+    "stump_leftright_m8": _q_stump_leftright_m8,
     # rows-only (approximate / not SQL-expressible; validated in tests/)
     "stump_summary_m25": _q_stump_summary,
     "lsh_knn_k5": _q_lsh_knn,
@@ -1563,6 +1612,7 @@ WHERE 1 = 0
     out["stimp_m4_8_16"] = _stimp_sql(glob)
     out["scrump_full_m8"] = _scrump_sql(glob)
     out["prescrump_m8"] = _prescrump_sql(glob)
+    out["stump_leftright_m8"] = _leftright_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)
