@@ -752,6 +752,34 @@ LEFT JOIN ragg ON lw.doc_id = ragg.doc_id
 """
 
 
+def _q_stump_topk_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (k=3) matrix profile: per-doc aggregates of the 3rd-smallest
+    neighbor distance per row (stump.py k>1 semantics)."""
+    from stumpy_spark.operators import stump
+    prof = stump(_short_docs(spark, sf_dir), 8, k=3)
+    p3 = F.col("P")[2]
+    return (prof.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_windows"),
+                 F.min(p3).alias("min_p3"),
+                 F.max(p3).alias("max_p3")))
+
+
+def _topk_sql(glob: str) -> str:
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+{_prof_cte()},
+ranked AS (
+    SELECT doc_id, i, d,
+           row_number() OVER (PARTITION BY doc_id, i ORDER BY d, j) AS rn
+    FROM dd
+),
+p3 AS (SELECT doc_id, i, d AS p3 FROM ranked WHERE rn = 3)
+SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+       MIN(p3) AS min_p3, MAX(p3) AS max_p3
+FROM p3 GROUP BY doc_id
+"""
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: metadata-only expansion of each
     video row into frame timestamps (the blob column never scanned)."""
@@ -858,6 +886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_1h": _q_retention_1h,
     "sliding_minmax_m8": _q_sliding_minmax_m8,
     "stump_leftright_m8": _q_stump_leftright_m8,
+    "stump_topk_m8": _q_stump_topk_m8,
     # rows-only (approximate / not SQL-expressible; validated in tests/)
     "stump_summary_m25": _q_stump_summary,
     "lsh_knn_k5": _q_lsh_knn,
@@ -1613,6 +1642,7 @@ WHERE 1 = 0
     out["scrump_full_m8"] = _scrump_sql(glob)
     out["prescrump_m8"] = _prescrump_sql(glob)
     out["stump_leftright_m8"] = _leftright_sql(glob)
+    out["stump_topk_m8"] = _topk_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)
