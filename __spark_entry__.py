@@ -780,6 +780,56 @@ FROM p3 GROUP BY doc_id
 """
 
 
+def _q_aampdist_pairs_m3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-normalized MPdist (aampdist) between consecutive short docs:
+    k-th smallest of the concatenated p=2 AB/BA profiles — integer sums,
+    bit-exact at any m (mpdist.py aampdist reroute semantics)."""
+    from pyspark.sql import Window
+    from stumpy_spark.operators.discovery import mpdist_pairs
+    df = _tokseq(spark, sf_dir).where(F.col("n_tok") <= 64)
+    w = Window.orderBy("doc_id")
+    pairs = (df.select("doc_id")
+             .withColumn("id_b", F.lead("doc_id").over(w))
+             .where(F.col("id_b").isNotNull())
+             .select(F.col("doc_id").alias("id_a"), "id_b"))
+    return mpdist_pairs(df, pairs, 3, normalize=False).select(
+        "id_a", "id_b", "mpdist")
+
+
+def _aampdist_sql(glob: str) -> str:
+    dd = " + ".join(f"(a.t{i}-b.t{i})*(a.t{i}-b.t{i})" for i in range(3))
+    return f"""
+WITH {_win_cte(glob, 8, 64, 3)},
+docn AS (SELECT doc_id, n_tok FROM read_parquet('{glob}')
+         WHERE n_tok <= 64),
+prs AS (
+    SELECT doc_id AS id_a, n_tok AS na,
+           lead(doc_id) OVER (ORDER BY doc_id) AS id_b,
+           lead(n_tok) OVER (ORDER BY doc_id) AS nb
+    FROM docn
+),
+prsf AS (SELECT * FROM prs WHERE id_b IS NOT NULL),
+pdd AS (
+    SELECT p.id_a, p.id_b, a.pos AS i, b.pos AS j,
+           sqrt(CAST({dd} AS DOUBLE)) AS d
+    FROM prsf p
+    JOIN stats a ON a.doc_id = p.id_a
+    JOIN stats b ON b.doc_id = p.id_b
+),
+pab AS (SELECT id_a, id_b, i, MIN(d) AS p FROM pdd GROUP BY 1, 2, 3),
+pba AS (SELECT id_a, id_b, j, MIN(d) AS p FROM pdd GROUP BY 1, 2, 3),
+abba AS (SELECT id_a, id_b, p FROM pab
+         UNION ALL SELECT id_a, id_b, p FROM pba),
+ranked AS (SELECT id_a, id_b, p,
+                  row_number() OVER (PARTITION BY id_a, id_b
+                                     ORDER BY p) - 1 AS rn
+           FROM abba)
+SELECT r.id_a, r.id_b, r.p AS mpdist
+FROM ranked r JOIN prsf k ON r.id_a = k.id_a AND r.id_b = k.id_b
+WHERE r.rn = CAST(ceil(0.05 * (k.na + k.nb)) AS BIGINT)
+"""
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: metadata-only expansion of each
     video row into frame timestamps (the blob column never scanned)."""
@@ -887,6 +937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_minmax_m8": _q_sliding_minmax_m8,
     "stump_leftright_m8": _q_stump_leftright_m8,
     "stump_topk_m8": _q_stump_topk_m8,
+    "aampdist_pairs_m3": _q_aampdist_pairs_m3,
     # rows-only (approximate / not SQL-expressible; validated in tests/)
     "stump_summary_m25": _q_stump_summary,
     "lsh_knn_k5": _q_lsh_knn,
@@ -1643,6 +1694,7 @@ WHERE 1 = 0
     out["prescrump_m8"] = _prescrump_sql(glob)
     out["stump_leftright_m8"] = _leftright_sql(glob)
     out["stump_topk_m8"] = _topk_sql(glob)
+    out["aampdist_pairs_m3"] = _aampdist_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)
