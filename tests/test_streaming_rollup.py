@@ -1,0 +1,64 @@
+"""Streaming tier aggregation parity: the watermarked streaming rollup
+over micro-batched input must equal the batch tier over the same rows —
+including a late batch that re-aggregates already-seen buckets."""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from stumpy_spark.rollup import tiers as RT
+from stumpy_spark.rollup.streaming import streaming_rollup
+from stumpy_spark.sources import tokseq
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    df = tokseq.tokseq_df(spark, 300, partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_streaming_rollup_equals_batch_with_late_batch(spark, toks,
+                                                       tmp_path):
+    # split: "late" rows (every 3rd doc) arrive in the second micro-batch
+    is_late = F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def write_batch(df, name):
+        out = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(out))
+        import shutil
+        part = next(out.glob("part-*.parquet"))
+        shutil.copy(part, indir / f"{name}.parquet")
+
+    write_batch(toks.where(~is_late), "batch0")
+    time.sleep(1.1)
+    write_batch(toks.where(is_late), "batch1")
+
+    stream = (spark.readStream.schema(toks.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(indir)))
+    agg = streaming_rollup(stream, tier="1m", m=25,
+                           watermark="365 days")
+    q = (agg.writeStream.format("memory").queryName("stream_1m")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (spark.sql("SELECT * FROM stream_1m").toPandas()
+           .sort_values(["source", "bucket"]).reset_index(drop=True))
+    raw = RT.per_sequence_stats_fused(toks, m=25)
+    exp = (RT.rollup_tier(raw, "1m").toPandas()
+           .sort_values(["source", "bucket"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in ("n_seq", "sum_n_tok", "sum_window_sums"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    np.testing.assert_array_equal(got.min_mean.to_numpy(),
+                                  exp.min_mean.to_numpy())
+    # window(event_ts, '1 minute').start == date_trunc('minute', ...)
+    assert (got.bucket.to_numpy() == exp.bucket.to_numpy()).all()
