@@ -830,6 +830,93 @@ WHERE r.rn = CAST(ceil(0.05 * (k.na + k.nb)) AS BIGINT)
 """
 
 
+def _q_subspace_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mstump subspace selection (mstump.py:96-245): for the 2-dim motif
+    pair of each doc, which single dimension aligns best.  The SQL oracle
+    ranks dims by the algebraically-equal Pearson-form distance — the dim
+    choice is identical (the two dims differ by far more than rounding)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark.anytime import multi_matrix_profile, subspace
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("motif_i", T.LongType()),
+        T.StructField("motif_j", T.LongType()),
+        T.StructField("best_dim", T.LongType()),
+    ])
+    df = _short_docs(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                Ts = np.vstack([a, a[::-1]])
+                P, I = multi_matrix_profile(Ts, 8)
+                finite = np.isfinite(P[1])
+                if not finite.any():
+                    continue
+                mi = int(np.argmin(np.where(finite, P[1], np.inf)))
+                nn = int(I[1, mi])
+                dims = subspace(Ts, 8, mi, nn, 0)
+                rows.append((did, mi, nn, int(dims[0])))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "motif_i", "motif_j", "best_dim"])
+
+    return df.select("doc_id", "tokens").mapInPandas(run, schema=schema)
+
+
+def _subspace_sql(glob: str) -> str:
+    # reuse the mstump oracle's kdim=2 motif pair, then pick the dim with
+    # the smaller per-dim distance at that pair (ties -> dim 0)
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+{_win8_cte(glob, 16, 64, prefix="r",
+           val="tq.tokens[len(tq.tokens) - g.i + 1]")},
+dist1 AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM stats a JOIN stats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+dd1 AS (SELECT doc_id, i, j,
+               sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+        FROM dist1),
+dist2 AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM rstats a JOIN rstats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+dd2 AS (SELECT doc_id, i, j,
+               sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+        FROM dist2),
+kd AS (
+    SELECT dd1.doc_id, dd1.i, dd1.j, dd1.d AS da, dd2.d AS db,
+           (least(dd1.d, dd2.d) + greatest(dd1.d, dd2.d)) / 2 AS p2
+    FROM dd1 JOIN dd2 ON dd1.doc_id = dd2.doc_id AND dd1.i = dd2.i
+          AND dd1.j = dd2.j
+),
+prof AS (SELECT doc_id, i, MIN(p2) AS p2 FROM kd GROUP BY doc_id, i),
+mins AS (SELECT doc_id, MIN(p2) AS mp2 FROM prof GROUP BY doc_id),
+mi2 AS (SELECT p.doc_id, MIN(p.i) AS i2 FROM prof p
+        JOIN mins ON p.doc_id = mins.doc_id AND p.p2 = mins.mp2
+        GROUP BY p.doc_id),
+mj2 AS (SELECT kd.doc_id, MIN(kd.j) AS j2 FROM kd
+        JOIN mi2 ON kd.doc_id = mi2.doc_id AND kd.i = mi2.i2
+        JOIN mins ON kd.doc_id = mins.doc_id
+        WHERE kd.p2 = mins.mp2
+        GROUP BY kd.doc_id)
+SELECT kd.doc_id, mi2.i2::BIGINT AS motif_i, mj2.j2::BIGINT AS motif_j,
+       (CASE WHEN kd.da <= kd.db THEN 0 ELSE 1 END)::BIGINT AS best_dim
+FROM kd
+JOIN mi2 ON kd.doc_id = mi2.doc_id AND kd.i = mi2.i2
+JOIN mj2 ON kd.doc_id = mj2.doc_id AND kd.j = mj2.j2
+"""
+
+
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: metadata-only expansion of each
     video row into frame timestamps (the blob column never scanned)."""
@@ -938,6 +1025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stump_leftright_m8": _q_stump_leftright_m8,
     "stump_topk_m8": _q_stump_topk_m8,
     "aampdist_pairs_m3": _q_aampdist_pairs_m3,
+    "subspace_m8": _q_subspace_m8,
     # rows-only (approximate / not SQL-expressible; validated in tests/)
     "stump_summary_m25": _q_stump_summary,
     "lsh_knn_k5": _q_lsh_knn,
@@ -1695,6 +1783,7 @@ WHERE 1 = 0
     out["stump_leftright_m8"] = _leftright_sql(glob)
     out["stump_topk_m8"] = _topk_sql(glob)
     out["aampdist_pairs_m3"] = _aampdist_sql(glob)
+    out["subspace_m8"] = _subspace_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)
