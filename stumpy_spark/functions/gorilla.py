@@ -102,6 +102,9 @@ def _sign_extend_u64(v: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 _DOD_BITS = np.array([7, 9, 12, 64], dtype=np.int64)
 
+# split-stream block layout version (bumped on any incompatible change)
+FORMAT_VERSION = 1
+
 
 def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
     """Encode parallel (int64 ts, float64 value) arrays into a Gorilla
@@ -109,8 +112,13 @@ def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
     ts = np.asarray(timestamps, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
     n = len(ts)
-    fvals: list[np.ndarray] = [np.array([n], dtype=np.uint64)]
-    flens: list[np.ndarray] = [np.array([32], dtype=np.int64)]
+    # 8-bit format version leads the block: the split-stream layout is not
+    # self-describing, so a layout change must fail decode loudly rather
+    # than produce silent garbage from persisted blobs
+    fvals: list[np.ndarray] = [np.array([FORMAT_VERSION], dtype=np.uint64),
+                               np.array([n], dtype=np.uint64)]
+    flens: list[np.ndarray] = [np.array([8], dtype=np.int64),
+                               np.array([32], dtype=np.int64)]
     if n == 0:
         return _pack_fields(np.concatenate(fvals), np.concatenate(flens))
     b = vals.view(np.uint64)
@@ -173,18 +181,23 @@ def decode(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     def rd(off, ln):
         return int(_extract_fields(bits, off * one, ln * one)[0])
 
-    n = rd(0, 32)
+    ver = rd(0, 8)
+    if ver != FORMAT_VERSION:
+        raise ValueError(
+            f"unknown gorilla block format version {ver} "
+            f"(this decoder understands {FORMAT_VERSION})")
+    n = rd(8, 32)
     ts = np.empty(n, dtype=np.int64)
     b = np.empty(n, dtype=np.uint64)
     if n == 0:
         return ts, b.view(np.float64)
-    ts[0] = np.uint64(rd(32, 64)).astype(np.int64)
-    b0 = _U64(rd(96, 64))
+    ts[0] = np.uint64(rd(40, 64)).astype(np.int64)
+    b0 = _U64(rd(104, 64))
     if n == 1:
         b[0] = b0
         return ts, b.view(np.float64)
-    delta0 = np.uint64(rd(160, 64)).astype(np.int64)
-    pos = 224
+    delta0 = np.uint64(rd(168, 64)).astype(np.int64)
+    pos = 232
 
     # -- timestamp region ----------------------------------------------------
     nt = n - 2

@@ -97,6 +97,7 @@ def doc_fingerprint(col: Column) -> Column:
     token order yields a different fingerprint; empty/whitespace-only text
     fingerprints to 0.
     """
-    toks = F.filter(F.split(col, r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.coalesce(col, F.lit("")), r"\s+"),
+                    lambda x: x != "")
     return F.aggregate(toks, F.lit(0).cast("long"),
                        lambda acc, x: F.xxhash64(acc, x))

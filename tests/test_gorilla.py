@@ -101,3 +101,15 @@ def test_spark_compress_tier(spark):
     assert (got.bucket.to_numpy() == exp.bucket.to_numpy()).all()
     cp = chunks.toPandas()
     assert (cp.encoded_bytes < cp.raw_bytes).all()
+
+
+def test_unknown_format_version_rejected():
+    blob = bytearray(gorilla.encode(np.array([1, 2]), np.array([1.0, 2.0])))
+    blob[0] ^= 0xFF                       # corrupt the version byte
+    with pytest.raises(ValueError, match="format version"):
+        gorilla.decode(bytes(blob))
+
+
+def test_version_byte_leads_block():
+    blob = gorilla.encode(np.array([], dtype=np.int64), np.array([]))
+    assert blob[0] == gorilla.FORMAT_VERSION

@@ -164,12 +164,13 @@ def test_text_quality_and_lang(spark):
 
 
 def test_fingerprint_deterministic(spark):
-    pdf = pd.DataFrame({"text": ["a b c", "a b c", "a b d", ""]})
+    pdf = pd.DataFrame({"text": ["a b c", "a b c", "a b d", "", None]})
     df = spark.createDataFrame(pdf).withColumn(
         "fp", textfns.doc_fingerprint(F.col("text")))
     fps = [r.fp for r in df.collect()]
     assert fps[0] == fps[1] != fps[2]
     assert fps[3] == 0
+    assert fps[4] == 0       # NULL text keeps the fingerprints-to-0 contract
 
 
 def test_brute_knn_matches_numpy(emb):
