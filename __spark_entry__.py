@@ -354,7 +354,25 @@ def _q_mstump_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("motif_j").cast("long").alias("motif_j"))
 
 
-def _mstump_sql(glob: str) -> str:
+def _q_mstump_discords_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mstump with discords=True: row k aggregates the k+1 *worst*-aligned
+    dimensions (mstump.py:538-541); the profile is still the elementwise
+    min over pairs.  For d=2: k=1 -> greatest, k=2 -> mean (same as
+    motifs) — both SQL-expressible with the bit-exact m=8 scheme."""
+    from stumpy_spark.operators.discovery import mstump
+    df = _short_docs(spark, sf_dir)
+    dims = F.array(
+        F.transform("tokens", lambda x: x.cast("double")),
+        F.transform(F.reverse("tokens"), lambda x: x.cast("double")))
+    res = mstump(df.select("doc_id", dims.alias("dims")), 8, discords=True)
+    return res.select(
+        "doc_id", F.col("kdim").cast("long").alias("kdim"), "min_p",
+        F.col("motif_i").cast("long").alias("motif_i"),
+        F.col("motif_j").cast("long").alias("motif_j"))
+
+
+def _mstump_sql(glob: str, discords: bool = False) -> str:
+    k1 = "greatest" if discords else "least"
     return f"""
 WITH {_win8_cte(glob, 16, 64)},
 {_win8_cte(glob, 16, 64, prefix="r",
@@ -377,7 +395,7 @@ dd2 AS (SELECT doc_id, i, j,
         FROM dist2),
 kd AS (
     SELECT dd1.doc_id, dd1.i, dd1.j,
-           least(dd1.d, dd2.d) AS p1,
+           {k1}(dd1.d, dd2.d) AS p1,
            (least(dd1.d, dd2.d) + greatest(dd1.d, dd2.d)) / 2 AS p2
     FROM dd1 JOIN dd2 ON dd1.doc_id = dd2.doc_id AND dd1.i = dd2.i
           AND dd1.j = dd2.j
@@ -1010,6 +1028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snippets_m8": _q_snippets_m8,
     "stumpi_growing_m8": _q_stumpi_growing_m8,
     "mstump_m8": _q_mstump_m8,
+    "mstump_discords_m8": _q_mstump_discords_m8,
     "ostinato_m8": _q_ostinato_m8,
     "stimp_m4_8_16": _q_stimp_m4_8_16,
     "scrump_full_m8": _q_scrump_full_m8,
@@ -1776,6 +1795,7 @@ WHERE 1 = 0
     # shares the stump_m8_short oracle verbatim
     out["stumpi_growing_m8"] = out["stump_m8_short"]
     out["mstump_m8"] = _mstump_sql(glob)
+    out["mstump_discords_m8"] = _mstump_sql(glob, discords=True)
     out["ostinato_m8"] = _ostinato_sql(glob)
     out["stimp_m4_8_16"] = _stimp_sql(glob)
     out["scrump_full_m8"] = _scrump_sql(glob)

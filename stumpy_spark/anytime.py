@@ -161,13 +161,36 @@ class Scrump:
             self.update()
 
 
+def _apply_include_rows(Dd: np.ndarray, include: np.ndarray) -> None:
+    """Row-swap so ``include`` dimensions occupy the first rows (the
+    in-place swap of core.py:3893-3960 ``_apply_include``, applied to
+    axis 0 of a (d, ...) distance tensor)."""
+    include = np.asarray(include, dtype=np.int64)
+    r = include.shape[0]
+    restricted = include[include < r]
+    unrestricted = include[include >= r]
+    mask = np.ones(r, dtype=bool)
+    mask[restricted] = False
+    tmp = Dd[:r].copy()
+    Dd[:r] = Dd[include]
+    Dd[unrestricted] = tmp[mask]
+
+
 def multi_matrix_profile(Ts, m: int, normalize: bool = True,
-                         p: float = 2.0):
+                         p: float = 2.0, include=None,
+                         discords: bool = False):
     """Multi-dimensional matrix profile (mstump semantics).
 
     ``Ts``: (d, n) array — rows are dimensions.  Returns (P, I) of shape
     (d, l): row k is the profile using the k+1 best-aligned dimensions
     (column-sorted cumulative mean, mstump.py:538-546 / core.py:4049-4097).
+
+    ``include`` pins dimensions to the front of the per-column sort
+    (constrained search, mstump.py:534-536 / ICDM'17 §IV-D);
+    ``discords=True`` sorts the remaining rows descending so row k
+    aggregates the k+1 *worst*-aligned dimensions (mstump.py:538-541).
+    The profile itself stays the elementwise min over pairs in both
+    modes, exactly as the reference.
     """
     Ts = np.asarray(Ts, dtype=np.float64)
     d, n = Ts.shape
@@ -214,9 +237,16 @@ def multi_matrix_profile(Ts, m: int, normalize: bool = True,
         cols = np.arange(l)
         band = np.abs(cols[None, :] - rows[:, None]) <= ez
         Dd[:, band] = np.inf
-        # sort across dims, cumulative mean
-        Ds = np.sort(Dd, axis=0)
-        Dcum = np.cumsum(Ds, axis=0) / np.arange(1, d + 1)[:, None, None]
+        # include pinning + directional sort across dims, cumulative mean
+        start_row = 0
+        if include is not None:
+            _apply_include_rows(Dd, include)
+            start_row = len(include)
+        if discords:
+            Dd[start_row:][::-1].sort(axis=0)
+        else:
+            Dd[start_row:].sort(axis=0)
+        Dcum = np.cumsum(Dd, axis=0) / np.arange(1, d + 1)[:, None, None]
         for kdim in range(d):
             j = np.argmin(Dcum[kdim], axis=1)
             r = np.arange(nb)
@@ -245,47 +275,126 @@ def subspace(Ts, m: int, idx: int, nn_idx: int, k: int):
     return np.argsort(dists, kind="stable")[:k + 1]
 
 
-def _discretize(a: np.ndarray, bits: int = 8) -> np.ndarray:
-    """Uniform discretization (mstump.py:265-291 semantics)."""
-    amin, amax = a.min(), a.max()
-    rng = amax - amin
-    if rng == 0:
-        return np.zeros(a.shape, dtype=np.int64)
-    return np.floor((a - amin) / rng * (2 ** bits - 1)).astype(np.int64)
+def _norm_ppf(p: np.ndarray) -> np.ndarray:
+    """Inverse standard-normal CDF via Acklam's rational approximation
+    (public-domain algorithm; max relative error ~1.15e-9).  scipy isn't
+    available in this environment; at 8-bit discretization of z-normed
+    data the bin edges are indistinguishable from scipy's at this
+    precision."""
+    p = np.asarray(p, dtype=np.float64)
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    dd = [7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    out = np.empty_like(p)
+    lo = p < plow
+    hi = p > phigh
+    mid = ~(lo | hi)
+    if mid.any():
+        q = p[mid] - 0.5
+        r = q * q
+        out[mid] = ((((((a[0]*r+a[1])*r+a[2])*r+a[3])*r+a[4])*r+a[5])*q /
+                    (((((b[0]*r+b[1])*r+b[2])*r+b[3])*r+b[4])*r+1))
+    if lo.any():
+        q = np.sqrt(-2.0 * np.log(p[lo]))
+        out[lo] = ((((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) /
+                   ((((dd[0]*q+dd[1])*q+dd[2])*q+dd[3])*q+1))
+    if hi.any():
+        q = np.sqrt(-2.0 * np.log(1.0 - p[hi]))
+        out[hi] = -((((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) /
+                    ((((dd[0]*q+dd[1])*q+dd[2])*q+dd[3])*q+1))
+    return out
+
+
+def _inverse_norm_bins(bits: int = 8) -> np.ndarray:
+    """Inverse-normal bin edges for z-normed data (mstump.py:253-263
+    ``_inverse_norm``)."""
+    return _norm_ppf(np.arange(1, 2 ** bits) / (2 ** bits))
+
+
+def _discretize(a: np.ndarray, bins: np.ndarray) -> np.ndarray:
+    """``np.digitize(a, bins, right=True)`` (mstump.py:265-291)."""
+    return np.digitize(a, bins, right=True)
+
+
+def _z_norm_rows(a: np.ndarray) -> np.ndarray:
+    """Per-row z-norm with the reference's constant-row contract:
+    sigma below STDDEV_THRESHOLD acts as 1 (core.py:359-383), and fully
+    constant rows are zeroed afterwards (mstump.py:418-427)."""
+    mu = a.mean(axis=1, keepdims=True)
+    sig = a.std(axis=1, keepdims=True)
+    sig = np.where(sig < kernels.config.STDDEV_THRESHOLD, 1.0, sig)
+    z = (a - mu) / sig
+    z[np.ptp(a, axis=1) == 0] = 0.0
+    return z
+
+
+def _subspace_from_D(D: np.ndarray, k: int, include=None,
+                     discords: bool = False) -> np.ndarray:
+    """k+1 dimension indices from a per-dim distance vector
+    (core.py:3963-4008 ``_subspace``): stable mergesort order, reversed
+    for discords, ``include`` indices swapped to the front."""
+    if discords:
+        sorted_idx = D[::-1].argsort(axis=0, kind="mergesort")
+    else:
+        sorted_idx = D.argsort(axis=0, kind="mergesort")
+    if include is not None:
+        include = np.asarray(include, dtype=np.int64)
+        mask = np.isin(sorted_idx, include)
+        inc_idx = mask.nonzero()[0]
+        exc_idx = (~mask).nonzero()[0]
+        sorted_idx[:inc_idx.shape[0]], sorted_idx[inc_idx.shape[0]:] = (
+            sorted_idx[inc_idx], sorted_idx[exc_idx])
+    return sorted_idx[:k + 1]
 
 
 def mdl(Ts, m: int, subseq_idx: np.ndarray, nn_idx: np.ndarray,
-        bits: int = 8):
-    """Minimum description length over dimensionality levels
-    (mstump.py:292-441 / core.py:4011-4042 semantics).
+        bits: int = 8, include=None, discords: bool = False):
+    """Minimum description length over dimensionality levels —
+    reference-exact (mstump.py:292-441 ``mdl`` + core.py:4011-4042
+    ``_mdl``).
 
-    For each k (number of dimensions used), the bit cost of encoding the
-    k best-aligned dimensions of the subsequence at ``subseq_idx[k]``
-    relative to its neighbor at ``nn_idx[k]``.  Returns (bit_sizes,
-    subspaces).
+    For each k: z-norm + inverse-normal-discretize the full d×m
+    subsequence matrices at ``subseq_idx[k]`` / ``nn_idx[k]``, pick the
+    k+1-dim subspace from the discretized row distances, and charge
+
+        bit_size = n_bit·(2·d·m − (k+1)·m)
+                 + (k+1)·m·log2(n_val) + n_val·n_bit
+
+    where n_val = #unique residuals over the subspace rows.  The first
+    term (uncompressed cost of the dimensions *outside* the subspace)
+    varies with k — dropping it changes which dimensionality argmin
+    selects (the round-2 defect).  Returns (bit_sizes, subspaces).
     """
     Ts = np.asarray(Ts, dtype=np.float64)
     d = Ts.shape[0]
+    bins = _inverse_norm_bins(bits)
     bit_sizes = np.empty(d)
     subspaces = []
     for k in range(d):
-        dims = subspace(Ts, m, int(subseq_idx[k]), int(nn_idx[k]), k)
-        subspaces.append(dims)
-        sub = _discretize(
-            np.vstack([Ts[dim, subseq_idx[k]:subseq_idx[k] + m]
-                       for dim in dims]), bits)
-        neigh = _discretize(
-            np.vstack([Ts[dim, nn_idx[k]:nn_idx[k] + m]
-                       for dim in dims]), bits)
-        diff = sub - neigh
-        n_unique = max(len(np.unique(diff)), 1)
-        # description length: residual entropy + dictionary cost
-        bit_sizes[k] = ((k + 1) * m * np.log2(n_unique)
-                        + n_unique * bits)
+        si, ni = int(subseq_idx[k]), int(nn_idx[k])
+        disc_sub = _discretize(_z_norm_rows(Ts[:, si:si + m]), bins)
+        disc_nn = _discretize(_z_norm_rows(Ts[:, ni:ni + m]), bins)
+        D = np.linalg.norm(disc_sub - disc_nn, axis=1)
+        S = _subspace_from_D(D, k, include=include, discords=discords)
+        subspaces.append(S)
+        sub_dims = k + 1
+        n_val = len(np.unique(disc_sub[S] - disc_nn[S]))
+        bit_sizes[k] = (bits * (2 * d * m - sub_dims * m)
+                        + sub_dims * m * np.log2(n_val) + n_val * bits)
     return bit_sizes, subspaces
 
 
-def mmotifs(Ts, m: int, max_motifs: int = 1):
+def mmotifs(Ts, m: int, max_motifs: int = 1, include=None,
+            discords: bool = False):
     """Multi-dimensional motif discovery (mmotifs.py:22-265 semantics,
     simplified to the default parameters): find the motif pair on the
     MDL-optimal dimensionality, apply exclusion, repeat.
@@ -294,7 +403,7 @@ def mmotifs(Ts, m: int, max_motifs: int = 1):
     """
     Ts = np.asarray(Ts, dtype=np.float64)
     d, n = Ts.shape
-    P, I = multi_matrix_profile(Ts, m)
+    P, I = multi_matrix_profile(Ts, m, include=include, discords=discords)
     P = P.copy()
     ez = kernels.excl_zone(m)
     out = []
@@ -304,7 +413,8 @@ def mmotifs(Ts, m: int, max_motifs: int = 1):
         if not np.isfinite(motif_val).any():
             break
         nn_idx = I[np.arange(d), motif_idx]
-        bit_sizes, subspaces = mdl(Ts, m, motif_idx, nn_idx)
+        bit_sizes, subspaces = mdl(Ts, m, motif_idx, nn_idx,
+                                   include=include, discords=discords)
         k = int(np.argmin(bit_sizes))
         if not np.isfinite(P[k, motif_idx[k]]):
             break

@@ -283,12 +283,16 @@ _MSTUMP_SCHEMA = T.StructType([
 
 
 def mstump(df: DataFrame, m: int, id_col: str = "doc_id",
-           dims_col: str = "dims") -> DataFrame:
+           dims_col: str = "dims", include=None,
+           discords: bool = False) -> DataFrame:
     """Multi-dimensional matrix profile per sequence.
 
     ``dims_col`` holds array<array<double>> — rows are dimensions
     (mstump.py:1114-1287 semantics).  Emits, per dimensionality level k,
-    the k-dim motif (min profile value + positions).
+    the k-dim motif (min profile value + positions).  ``include`` pins
+    dimensions into every subspace (constrained search); ``discords``
+    aggregates the k+1 worst-aligned dimensions instead
+    (mstump.py:534-541 semantics).
     """
     from ..anytime import multi_matrix_profile
 
@@ -300,7 +304,8 @@ def mstump(df: DataFrame, m: int, id_col: str = "doc_id",
                                  for d in dims])
                 if Ts.ndim != 2 or Ts.shape[1] < 2 * m:
                     continue
-                P, I = multi_matrix_profile(Ts, m)
+                P, I = multi_matrix_profile(Ts, m, include=include,
+                                            discords=discords)
                 for kdim in range(P.shape[0]):
                     finite = np.isfinite(P[kdim])
                     if not finite.any():

@@ -175,3 +175,126 @@ def test_ostinato_snippets_non_normalized():
     T = rs.uniform(-100, 100, 96)
     idxs, fracs, areas = mining.snippets(T, 16, 2, normalize=False)
     assert len(idxs) == 2 and abs(fracs.sum() - 1.0) < 1e-9
+
+
+def test_norm_ppf_sanity():
+    from stumpy_spark.anytime import _norm_ppf
+    # known quantiles of the standard normal
+    npt.assert_allclose(_norm_ppf(np.array([0.5])), [0.0], atol=1e-12)
+    npt.assert_allclose(_norm_ppf(np.array([0.975])), [1.959963985],
+                        rtol=1e-8)
+    npt.assert_allclose(_norm_ppf(np.array([0.0013498980316300933])),
+                        [-3.0], rtol=1e-7)
+    # symmetry
+    p = np.linspace(0.01, 0.99, 53)
+    npt.assert_allclose(_norm_ppf(p), -_norm_ppf(1 - p), atol=1e-9)
+
+
+def _ref_mdl_bit_size(disc_sub, disc_nn, S, n_bit=8):
+    """The reference bit-cost equation, transcribed independently from
+    core.py:4011-4042 (docstring formula) for parity checking."""
+    ndim = disc_sub.shape[0]
+    sub_dims, m = disc_sub[S].shape
+    n_val = len(np.unique(disc_sub[S] - disc_nn[S]))
+    return (n_bit * (2 * ndim * m - sub_dims * m)
+            + sub_dims * m * np.log2(n_val) + n_val * n_bit)
+
+
+def test_mdl_matches_reference_formula():
+    """Round-2 defect: the old formula dropped the n_bit*(2dm - (k+1)m)
+    term, which varies with k and can flip the argmin.  Assert the new
+    bit sizes equal the reference equation applied to the same
+    discretized arrays, and include a hand-computed case."""
+    from stumpy_spark.anytime import (mdl, _discretize, _inverse_norm_bins,
+                                      _z_norm_rows, _subspace_from_D)
+    rs = np.random.RandomState(7)
+    d, m = 4, 8
+    Ts = rs.normal(0, 10, (d, 64))
+    sub_idx = np.array([3, 10, 22, 40])
+    nn_idx = np.array([30, 44, 2, 15])
+    bit_sizes, subspaces = mdl(Ts, m, sub_idx, nn_idx)
+    bins = _inverse_norm_bins(8)
+    for k in range(d):
+        si, ni = int(sub_idx[k]), int(nn_idx[k])
+        dsub = _discretize(_z_norm_rows(Ts[:, si:si + m]), bins)
+        dnn = _discretize(_z_norm_rows(Ts[:, ni:ni + m]), bins)
+        D = np.linalg.norm(dsub - dnn, axis=1)
+        S = _subspace_from_D(D, k)
+        npt.assert_array_equal(S, subspaces[k])
+        assert bit_sizes[k] == _ref_mdl_bit_size(dsub, dnn, S)
+    # hand-computed: two identical dims -> residuals all zero over S
+    Ts2 = np.vstack([np.arange(32, dtype=float), np.arange(32, dtype=float)])
+    bs2, ss2 = mdl(Ts2, 4, np.array([0, 0]), np.array([8, 8]))
+    # k=0: n_val=1 -> 8*(2*2*4 - 4) + 4*0 + 1*8 = 96 + 8 = 104
+    assert bs2[0] == 104.0
+    # k=1: n_val=1 -> 8*(16 - 8) + 8*0 + 8 = 72
+    assert bs2[1] == 72.0
+    # the k-dependent first term makes full-dim cheaper here (identical
+    # dims compress perfectly) -- the old formula tied them at argmin 0
+    assert int(np.argmin(bs2)) == 1
+
+
+def _naive_mstump_opts(Ts, m, include=None, discords=False):
+    """Naive mstump with include/discords, mirroring the reference's
+    naive oracle (tests/naive.py:555-630 semantics)."""
+    d, n = Ts.shape
+    l = n - m + 1
+    ez = naive.excl_zone(m)
+    P = np.full((d, l), np.inf)
+    I = np.full((d, l), -1, dtype=np.int64)
+    inc = list(include) if include is not None else []
+    for i in range(l):
+        dists = np.full((d, l), np.inf)
+        for j in range(l):
+            if abs(i - j) <= ez:
+                continue
+            per_dim = np.array([
+                naive.znorm_dist(Ts[dim, i:i + m], Ts[dim, j:j + m])
+                for dim in range(d)])
+            front = [per_dim[x] for x in inc]
+            rest = sorted((per_dim[x] for x in range(d) if x not in inc),
+                          reverse=discords)
+            ordered = front + rest
+            c = 0.0
+            for kdim in range(d):
+                c += ordered[kdim]
+                dists[kdim, j] = c / (kdim + 1)
+        for kdim in range(d):
+            j = int(np.argmin(dists[kdim]))
+            if np.isfinite(dists[kdim, j]):
+                P[kdim, i] = dists[kdim, j]
+                I[kdim, i] = j
+    return P, I
+
+
+def test_mstump_discords_matches_naive():
+    rs = np.random.RandomState(41)
+    Ts = rs.uniform(-100, 100, (3, 36))
+    m = 5
+    ref_P, ref_I = _naive_mstump_opts(Ts, m, discords=True)
+    P, I = multi_matrix_profile(Ts, m, discords=True)
+    npt.assert_almost_equal(ref_P, P, decimal=PRECISION)
+    npt.assert_array_equal(ref_I, I)
+
+
+def test_mstump_include_matches_naive():
+    rs = np.random.RandomState(43)
+    Ts = rs.uniform(-100, 100, (4, 36))
+    m = 5
+    for include in ([2], [1, 3], [3, 0]):
+        ref_P, ref_I = _naive_mstump_opts(Ts, m, include=include)
+        P, I = multi_matrix_profile(Ts, m, include=np.array(include))
+        npt.assert_almost_equal(ref_P, P, decimal=PRECISION,
+                                err_msg=f"include={include}")
+        npt.assert_array_equal(ref_I, I)
+
+
+def test_mstump_include_discords_combined():
+    rs = np.random.RandomState(47)
+    Ts = rs.uniform(-100, 100, (4, 32))
+    m = 4
+    ref_P, ref_I = _naive_mstump_opts(Ts, m, include=[1], discords=True)
+    P, I = multi_matrix_profile(Ts, m, include=np.array([1]),
+                                discords=True)
+    npt.assert_almost_equal(ref_P, P, decimal=PRECISION)
+    npt.assert_array_equal(ref_I, I)
