@@ -104,34 +104,45 @@ class FlossState:
 
 class AampiState:
     """Incremental non-normalized (p=2) matrix profile with egress
-    (aampi semantics)."""
+    (aampi semantics).
+
+    Non-finite appends follow the reference contract (stumpy/aampi.py):
+    the point is zeroed in the stored ring (keeping the QT / ||W||^2
+    recurrences finite forever — previously one NaN poisoned QT even
+    after the point egressed), a per-point finite mask is tracked, and
+    distances of affected windows are forced to inf."""
 
     def __init__(self, T: np.ndarray, m: int):
         T = np.asarray(T, dtype=np.float64)
         self.m = m
         self.n = len(T)
-        self.T = T.copy()
+        self.isfin = np.isfinite(T)
+        self.T = np.where(self.isfin, T, 0.0)
         P, I, _, _ = kernels.matrix_profile_absolute(T, m)
         self.P = P[:, 0].copy()
         self.I = I[:, 0].copy()
-        self.QT = kernels.sliding_dot_product(T[-m:], T)
-        cs2 = np.concatenate(([0.0], np.cumsum(T * T)))
+        self.QT = kernels.sliding_dot_product(self.T[-m:], self.T)
+        cs2 = np.concatenate(([0.0], np.cumsum(self.T * self.T)))
         self.w2 = cs2[m:] - cs2[:-m]          # rolling ||W_i||^2
         self.n_appended = 0
 
     def update(self, t: float) -> None:
         m, n = self.m, self.n
         l = n - m + 1
+        finite = bool(np.isfinite(t))
+        tz = float(t) if finite else 0.0
         T = self.T
         t_drop = T[n - m]
         QT_new = np.empty(l)
         QT_new[:l - 1] = (self.QT[:l - 1] - T[:l - 1] * t_drop
-                          + T[m:n] * t)
+                          + T[m:n] * tz)
         # rolling sum-of-squares slides with the windows
         w2_new = np.empty(l)
         w2_new[:l - 1] = self.w2[1:l]
         T[:-1] = T[1:]
-        T[-1] = t
+        T[-1] = tz
+        self.isfin[:-1] = self.isfin[1:]
+        self.isfin[-1] = finite
         w2_new[l - 1] = float(T[-m:] @ T[-m:])
         QT_new[l - 1] = w2_new[l - 1]
         self.QT = QT_new
@@ -142,7 +153,8 @@ class AampiState:
         D2 = self.w2 - 2.0 * self.QT + self.w2[l - 1]
         np.maximum(D2, 0.0, out=D2)
         D = np.sqrt(D2)
-        fin = kernels.rolling_isfinite(T, m)
+        fin = kernels.rolling_isfinite(np.where(self.isfin, 0.0, np.nan),
+                                       m)
         D[~fin] = np.inf
         if not fin[-1]:
             D[:] = np.inf
@@ -151,9 +163,9 @@ class AampiState:
         improved = D[:l - 1] < self.P[:l - 1]
         self.P[:l - 1] = np.where(improved, D[:l - 1], self.P[:l - 1])
         self.I[:l - 1] = np.where(improved, l - 1, self.I[:l - 1])
-        finite = np.isfinite(D)
-        if finite.any():
-            j = int(np.argmin(np.where(finite, D, np.inf)))
+        finite_D = np.isfinite(D)
+        if finite_D.any():
+            j = int(np.argmin(np.where(finite_D, D, np.inf)))
             self.P[l - 1] = D[j]
             self.I[l - 1] = j
         else:
@@ -170,18 +182,22 @@ class AampiState:
         return np.where(self.I >= 0, self.I + self.n_appended, -1)
 
     def to_tuple(self):
-        # left_P/left_I slots carry the rolling ||W||^2 (w2) for aampi
+        # left_P slot carries the rolling ||W||^2 (w2) for aampi; the
+        # M/Sig slots of the shared stream tuple are unused
         return (self.m, self.n, self.n_appended,
                 self.T.tolist(), self.P.tolist(), self.I.tolist(),
-                self.w2.tolist(), [], self.QT.tolist())
+                self.w2.tolist(), [], self.QT.tolist(),
+                [bool(x) for x in self.isfin], [], [])
 
     @classmethod
     def from_tuple(cls, tup):
         obj = cls.__new__(cls)
-        (obj.m, obj.n, obj.n_appended, T, P, I, w2, _unused, QT) = tup
+        (obj.m, obj.n, obj.n_appended, T, P, I, w2, _unused, QT,
+         isfin, _M, _Sig) = tup
         obj.T = np.asarray(T, dtype=np.float64)
         obj.P = np.asarray(P, dtype=np.float64)
         obj.I = np.asarray(I, dtype=np.int64)
         obj.w2 = np.asarray(w2, dtype=np.float64)
         obj.QT = np.asarray(QT, dtype=np.float64)
+        obj.isfin = np.asarray(isfin, dtype=bool)
         return obj

@@ -193,3 +193,185 @@ def test_stumpi_structured_streaming(spark, tmp_path):
         exp_abs = np.where(ora.I >= 0, ora.I + ora.n_appended, -1)
         got = np.array(row.I)
         npt.assert_array_equal(exp_abs[ora.I >= 0], got[ora.I >= 0])
+
+
+# -- round-3 additions: non-finite contract, top-k, absolute indices --------
+
+def test_growing_stumpi_nonfinite_appends_equal_batch():
+    """ADVICE r2 (medium): a NaN/inf append must not poison the QT
+    recurrence — after the bad point, windows not containing it must
+    still match the batch profile exactly."""
+    from stumpy_spark import kernels
+    from stumpy_spark.streaming.stumpi import GrowingStumpiState
+    rs = np.random.RandomState(11)
+    T0 = rs.uniform(-100, 100, 40)
+    stream = list(rs.uniform(-100, 100, 30))
+    stream[5] = np.nan
+    stream[12] = np.inf
+    m = 5
+    st = GrowingStumpiState(T0, m)
+    full = list(T0)
+    for step, t in enumerate(stream):
+        st.update(t)
+        full.append(t)
+        P, I, _, _ = kernels.matrix_profile(np.asarray(full), m)
+        npt.assert_almost_equal(P[:, 0], st.P_, decimal=PRECISION,
+                                err_msg=f"step {step}")
+        npt.assert_array_equal(I[:, 0], st.I_, err_msg=f"step {step}")
+
+
+def test_growing_stumpi_topk_equals_batch():
+    from stumpy_spark import kernels
+    from stumpy_spark.streaming.stumpi import GrowingStumpiState
+    rs = np.random.RandomState(19)
+    T0 = rs.uniform(-100, 100, 36)
+    stream = rs.uniform(-100, 100, 25)
+    m, k = 4, 3
+    st = GrowingStumpiState(T0, m, k=k)
+    full = list(T0)
+    for step, t in enumerate(stream):
+        st.update(t)
+        full.append(t)
+        P, I, _, _ = kernels.matrix_profile(np.asarray(full), m, k=k)
+        npt.assert_almost_equal(P, st.P_, decimal=PRECISION,
+                                err_msg=f"step {step}")
+        npt.assert_array_equal(I, st.I_, err_msg=f"step {step}")
+
+
+def test_growing_stumpi_linear_update_cost():
+    """The O(n^2)-allocation regression guard: per-update cost must not
+    grow with total history via full-preprocess recomputation.  Proxy:
+    2x more updates on the same base must cost < 3.5x the wall time
+    (it would be ~4x+ if each update were O(history) with big constants,
+    and the old np.append path also reallocated every array)."""
+    import time
+    from stumpy_spark.streaming.stumpi import GrowingStumpiState
+    rs = np.random.RandomState(23)
+    base = rs.uniform(-1, 1, 64)
+
+    def run(n_updates):
+        st = GrowingStumpiState(base, 8)
+        vals = rs.uniform(-1, 1, n_updates)
+        t0 = time.perf_counter()
+        for v in vals:
+            st.update(v)
+        return time.perf_counter() - t0
+
+    run(200)                       # warmup
+    t1 = min(run(400), run(400))
+    t2 = min(run(800), run(800))
+    assert t2 < 3.5 * t1, (t1, t2)
+
+
+class NaiveStumpiEgressRef:
+    """Literal (loop-level) transcription of the reference's egress
+    update contract — core.py:4448-4511 ``_update_incremental_PI`` with
+    absolute indices, non-finite masking per stumpi.py:316-334."""
+
+    def __init__(self, T, m, k=1):
+        T = np.asarray(T, dtype=np.float64)
+        self.m, self.k = m, k
+        self.isfin = np.isfinite(T)
+        self.T = np.where(self.isfin, T, 0.0)
+        P, I, _, _ = naive.stump(T, m, k=k)
+        self.P = P.astype(np.float64).copy()
+        self.I = I.astype(np.int64).copy()
+        self.n_appended = 0
+
+    def update(self, t):
+        m, k = self.m, self.k
+        finite = np.isfinite(t)
+        tz = float(t) if finite else 0.0
+        self.T = np.append(self.T[1:], tz)
+        self.isfin = np.append(self.isfin[1:], finite)
+        self.n_appended += 1
+        l = len(self.T) - m + 1
+        self.P = np.vstack([self.P[1:], np.full(k, np.inf)])
+        self.I = np.vstack([self.I[1:], np.full(k, -1, dtype=np.int64)])
+        # distance profile of last window vs all, with non-finite masking
+        D = np.empty(l)
+        for i in range(l):
+            D[i] = naive.znorm_dist(self.T[i:i + m], self.T[-m:])
+        for i in range(l):
+            if not self.isfin[i:i + m].all():
+                D[i] = np.inf
+        if not self.isfin[-m:].all():
+            D[:] = np.inf
+        ez = naive.excl_zone(m)
+        D[max(0, l - 1 - ez):] = np.inf
+        for i in range(l - 1):
+            if D[i] < self.P[i, -1]:
+                pos = np.searchsorted(self.P[i], D[i], side="right")
+                self.P[i] = np.insert(self.P[i], pos, D[i])[:k]
+                self.I[i] = np.insert(self.I[i], pos,
+                                      l - 1 + self.n_appended)[:k]
+        self.P[-1] = np.inf
+        self.I[-1] = -1
+        for i, d in enumerate(D):
+            if d < self.P[-1, -1]:
+                pos = np.searchsorted(self.P[-1], d, side="right")
+                self.P[-1] = np.insert(self.P[-1], pos, d)[:k]
+                self.I[-1] = np.insert(self.I[-1], pos,
+                                       i + self.n_appended)[:k]
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_stumpi_egress_absolute_indices_and_topk(k):
+    """absolute_indices=True must reproduce the reference's egress
+    contract (absolute stream positions, possibly already egressed),
+    for k=1 and k>1, including non-finite appends."""
+    rs = np.random.RandomState(31)
+    T0 = rs.uniform(-100, 100, 40)
+    stream = list(rs.uniform(-100, 100, 60))
+    stream[7] = np.nan
+    m = 4
+    st = StumpiState(T0, m, k=k, absolute_indices=True)
+    ora = NaiveStumpiEgressRef(T0, m, k=k)
+    for step, t in enumerate(stream):
+        st.update(t)
+        ora.update(t)
+        got_P = st.P_ if k > 1 else st.P_.reshape(-1, 1)[:, :1]
+        exp_P = ora.P if k > 1 else ora.P[:, :1]
+        npt.assert_almost_equal(exp_P[:, :1] if k == 1 else exp_P,
+                                got_P if k > 1 else got_P,
+                                decimal=PRECISION, err_msg=f"step {step}")
+        got_I = st.I_ if k > 1 else st.I_.reshape(-1, 1)
+        exp_I = ora.I if k > 1 else ora.I[:, :1]
+        npt.assert_array_equal(exp_I, got_I, err_msg=f"step {step}")
+
+
+def test_stumpi_egress_nonfinite_recovers():
+    """One NaN append must stop poisoning the profile once every window
+    containing it has egressed: compare against a fresh batch profile of
+    the visible window restricted to co-visible candidates (= the
+    incremental oracle with non-finite handling)."""
+    rs = np.random.RandomState(37)
+    T0 = rs.uniform(-100, 100, 30)
+    stream = list(rs.uniform(-100, 100, 50))
+    stream[3] = np.inf
+    m = 3
+    st = StumpiState(T0, m)
+    ora = NaiveStumpiEgressRef(T0, m, k=1)
+    for step, t in enumerate(stream):
+        st.update(t)
+        ora.update(t)
+        npt.assert_almost_equal(ora.P[:, 0], st.P, decimal=PRECISION,
+                                err_msg=f"step {step}")
+    # after the bad point fully egresses the profile must be all-finite
+    assert np.isfinite(st.P).all()
+
+
+def test_stumpi_state_roundtrip_with_nonfinite_and_topk():
+    rs = np.random.RandomState(41)
+    T = rs.uniform(-10, 10, 30)
+    T[4] = np.nan
+    st = StumpiState(T, 3, k=2)
+    st.update(1.5)
+    st2 = StumpiState.from_tuple(st.to_tuple())
+    st.update(np.nan)
+    st2.update(np.nan)
+    st.update(2.5)
+    st2.update(2.5)
+    npt.assert_array_equal(st.P_, st2.P_)
+    npt.assert_array_equal(st.I_, st2.I_)
+    npt.assert_array_equal(st.QT, st2.QT)
