@@ -15,9 +15,10 @@ stump / stumped     operators.stump (per-sequence, distributed by rows);
                     kernels.matrix_profile (in-task kernel)
 aamp / aamped       operators.aamp / kernels.matrix_profile_absolute
 mass/mass_absolute  operators.mass / kernels.mass, kernels.mass_absolute
-stumpi / aampi      streaming.StumpiState (egress=True) /
+stumpi / aampi      streaming.StumpiState (egress=True; top-k via k=,
+                    reference egress indexing via absolute_indices=) /
                     streaming.GrowingStumpiState (egress=False, absolute
-                    indices) / streaming.floss.AampiState
+                    indices, top-k) / streaming.floss.AampiState
                     (+ streaming.stumpi_stream Structured-Streaming
                     wiring)
 scrump/prescrump    anytime.Scrump / anytime.prescrump;
@@ -28,8 +29,10 @@ subspace / mdl      anytime.subspace / anytime.mdl
 motifs / match      mining.motifs / mining.match;
                     operators.discovery.motifs (DataFrame)
 mmotifs             anytime.mmotifs
-mpdist / mpdisted   mining.mpdist; operators.discovery.mpdist_pairs
-(aampdist)          (mining.mpdist(normalize=False))
+mpdist / mpdisted   mining.mpdist; operators.discovery.mpdist_pairs;
+(aampdist)          plans.longseq.mpdisted (two over-limit series:
+                    tiled AB-joins + Catalyst k-th-smallest)
+                    (mining.mpdist(normalize=False) = aampdist)
 fluss / floss       mining.fluss (cac/rea); operators.discovery.fluss;
                     streaming.floss.FlossState (streaming)
 ostinato(ed)        mining.ostinato; operators.discovery.ostinato

@@ -141,88 +141,138 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
         lambda kv: (int(kv[1][0]), int(kv[1][1])))
     tiles_df = spark.createDataFrame(binned, schema="tr long, tc long")
 
+    # Cache sub-block geometry: the distance sub-block (BR x BC doubles =
+    # 2 MB) stays L2/L3-resident, so the rho->distance / masking / argmin
+    # passes never stream a tile-sized array through DRAM.  Materializing
+    # the full tile (8192^2 = 512 MB) is memory-bandwidth-bound and
+    # measured ~20x slower on this host; the single-task kernel uses the
+    # same cache-tiling for the same reason (kernels.py:650-653).
+    BR, BC = 256, 1024
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
         (Ta, mu, sig, fin, con), (Tb2, mub, sigb, finb, conb), sj = b.value
         windows = np.lib.stride_tricks.sliding_window_view(Ta, m)
         windows_B = windows if sj else \
             np.lib.stride_tricks.sliding_window_view(Tb2, m)
 
-        def block_znorm(r0, r1, c0, c1):
-            rho = kernels._pearson_block(
-                windows[r0:r1], windows_B[c0:c1],
-                mu[r0:r1], sig[r0:r1], mub[c0:c1], sigb[c0:c1], m)
-            D2 = np.abs(2.0 * m * (1.0 - rho))
-            ca = con[r0:r1][:, None]
-            cb = conb[c0:c1][None, :]
-            D2 = np.where(ca & cb, 0.0, D2)
-            D2 = np.where(ca ^ cb, float(m), D2)
-            D2[~fin[r0:r1], :] = np.inf
-            D2[:, ~finb[c0:c1]] = np.inf
-            D2 = kernels.snap_to_zero(D2)
-            return np.sqrt(D2)
-
-        def block_pnorm(r0, r1, c0, c1):
-            # mu/mub carry the window square-sums in the p-norm prep
-            if p == 2.0:
-                QT = windows[r0:r1] @ windows_B[c0:c1].T
-                D2 = mu[r0:r1][:, None] - 2.0 * QT + mub[c0:c1][None, :]
-                np.maximum(D2, 0.0, out=D2)
-                # GEMM expansion cancels catastrophically for near-dup
-                # pairs; recompute those few entries directly (exact),
-                # mirroring kernels.matrix_profile_absolute
-                scale = mu[r0:r1][:, None] + mub[c0:c1][None, :]
-                suspect = D2 <= 1e-8 * scale
-                if suspect.any():
-                    si, sjx = np.nonzero(suspect)
-                    diff = windows[r0 + si] - windows_B[c0 + sjx]
-                    D2[si, sjx] = np.einsum("ij,ij->i", diff, diff)
-                D = np.sqrt(D2)
+        def dist_sub(wr_s, wc_s, a0, a1, b0, b1):
+            """Distance sub-block for absolute rows a0:a1 x cols b0:b1.
+            ``wr_s``/``wc_s`` are contiguous window slices (BLAS GEMM on
+            strided sliding-window views is ~10x slower, kernels.py:633)."""
+            if normalize:
+                rho = kernels._pearson_block(
+                    wr_s, wc_s, mu[a0:a1], sig[a0:a1],
+                    mub[b0:b1], sigb[b0:b1], m)
+                D = kernels._rho_to_distance_inplace(rho, m)
+                ca = con[a0:a1]
+                cb = conb[b0:b1]
+                if ca.any() or cb.any():
+                    cam = ca[:, None]
+                    cbm = cb[None, :]
+                    D[cam & cbm] = 0.0
+                    D[cam ^ cbm] = _math.sqrt(m)
+                D[~fin[a0:a1], :] = np.inf
+                D[:, ~finb[b0:b1]] = np.inf
             else:
-                acc = np.zeros((r1 - r0, c1 - c0))
-                for o in range(m):
-                    acc += np.abs(Ta[r0 + o:r1 + o, None]
-                                  - Tb2[None, c0 + o:c1 + o]) ** p
-                D = acc ** (1.0 / p)
-            D[~fin[r0:r1], :] = np.inf
-            D[:, ~finb[c0:c1]] = np.inf
+                # mu/mub carry the window square-sums in the p-norm prep
+                if p == 2.0:
+                    QT = wr_s @ wc_s.T
+                    D2 = mu[a0:a1][:, None] - 2.0 * QT + mub[b0:b1][None, :]
+                    np.maximum(D2, 0.0, out=D2)
+                    # GEMM expansion cancels catastrophically for near-dup
+                    # pairs; recompute those few entries directly (exact),
+                    # mirroring kernels.matrix_profile_absolute
+                    scale = mu[a0:a1][:, None] + mub[b0:b1][None, :]
+                    suspect = D2 <= 1e-8 * scale
+                    if suspect.any():
+                        si, sjx = np.nonzero(suspect)
+                        diff = wr_s[si] - wc_s[sjx]
+                        D2[si, sjx] = np.einsum("ij,ij->i", diff, diff)
+                    D = np.sqrt(D2)
+                else:
+                    acc = np.zeros((a1 - a0, b1 - b0))
+                    for o in range(m):
+                        acc += np.abs(Ta[a0 + o:a1 + o, None]
+                                      - Tb2[None, b0 + o:b1 + o]) ** p
+                    D = acc ** (1.0 / p)
+                D[~fin[a0:a1], :] = np.inf
+                D[:, ~finb[b0:b1]] = np.inf
+            if sj and b0 <= a1 - 1 + ez and a0 - ez <= b1 - 1:
+                for ra in range(a0, a1):
+                    lo = max(b0, ra - ez) - b0
+                    hi = min(b1, ra + ez + 1) - b0
+                    if lo < hi:
+                        D[ra - a0, lo:hi] = np.inf
             return D
 
-        block_fn = block_znorm if normalize else block_pnorm
+        def upd(pv, jv, lo, vals, js):
+            """First-strictly-smaller running-min update on slice [lo:...]
+            — sub-blocks iterate in ascending neighbor order, so this
+            reproduces the argmin-first-index tie rule."""
+            sl_p = pv[lo:lo + len(vals)]
+            sl_j = jv[lo:lo + len(vals)]
+            better = vals < sl_p
+            sl_p[better] = vals[better]
+            sl_j[better] = js[better]
 
-        def block(r0, r1, c0, c1):
-            D = block_fn(r0, r1, c0, c1)
+        def eval_tile_top1(r0, r1, c0, c1, emit_cols):
+            nr, nc = r1 - r0, c1 - c0
+            wr = np.ascontiguousarray(windows[r0:r1])
+            wc_ = wr if (sj and r0 == c0) else \
+                np.ascontiguousarray(windows_B[c0:c1])
+            bp = np.full(nr, np.inf)
+            bj = np.full(nr, -1, dtype=np.int64)
             if sj:
-                rows = np.arange(r0, r1)[:, None]
-                cols = np.arange(c0, c1)[None, :]
-                D[np.abs(cols - rows) <= ez] = np.inf
-            return D
-
-        def partials(D, i0, j0):
-            """Per-row top-1 + left/right (self-join) from a tile block."""
-            nr = D.shape[0]
-            idx = np.arange(D.shape[1]) + j0
-            jmin = np.argmin(D, axis=1)
-            r = np.arange(nr)
-            pv = D[r, jmin]
-            jabs = idx[jmin]
-            rows_abs = np.arange(i0, i0 + nr)
+                bpl = np.full(nr, np.inf)
+                bjl = np.full(nr, -1, dtype=np.int64)
+                bpr = np.full(nr, np.inf)
+                bjr = np.full(nr, -1, dtype=np.int64)
+            if emit_cols:
+                cp = np.full(nc, np.inf)
+                cj = np.full(nc, -1, dtype=np.int64)
+            for sr0 in range(0, nr, BR):
+                sr1 = min(sr0 + BR, nr)
+                a0, a1 = r0 + sr0, r0 + sr1
+                rr = np.arange(sr1 - sr0)
+                rows_abs = np.arange(a0, a1)
+                for sc0 in range(0, nc, BC):
+                    sc1 = min(sc0 + BC, nc)
+                    b0, b1 = c0 + sc0, c0 + sc1
+                    D = dist_sub(wr[sr0:sr1], wc_[sc0:sc1], a0, a1, b0, b1)
+                    j = np.argmin(D, axis=1)
+                    v = D[rr, j]
+                    jab = j + b0
+                    upd(bp, bj, sr0, v, jab)
+                    if sj:
+                        if b0 >= a1:          # strictly right of all rows
+                            upd(bpr, bjr, sr0, v, jab)
+                        elif b1 <= a0:        # strictly left
+                            upd(bpl, bjl, sr0, v, jab)
+                        else:                 # diagonal-crossing sub-block
+                            left_mask = np.arange(b0, b1)[None, :] \
+                                < rows_abs[:, None]
+                            DL = np.where(left_mask, D, np.inf)
+                            DR = np.where(~left_mask, D, np.inf)
+                            jl = np.argmin(DL, axis=1)
+                            jr = np.argmin(DR, axis=1)
+                            upd(bpl, bjl, sr0, DL[rr, jl], jl + b0)
+                            upd(bpr, bjr, sr0, DR[rr, jr], jr + b0)
+                    if emit_cols:
+                        cc = np.arange(sc1 - sc0)
+                        i2 = np.argmin(D, axis=0)
+                        v2 = D[i2, cc]
+                        upd(cp, cj, sc0, v2, i2 + a0)
             out = {
-                "i": rows_abs, "p": pv,
-                "j": np.where(np.isfinite(pv), jabs, -1),
+                "i": np.arange(r0, r1), "p": bp,
+                "j": np.where(np.isfinite(bp), bj, -1),
             }
             if sj:
-                left_mask = idx[None, :] < rows_abs[:, None]
-                DL = np.where(left_mask, D, np.inf)
-                DR = np.where(~left_mask, D, np.inf)
-                jl = np.argmin(DL, axis=1)
-                jr = np.argmin(DR, axis=1)
-                pl = DL[r, jl]
-                pr = DR[r, jr]
                 out.update({
-                    "pl": pl,
-                    "jl": np.where(np.isfinite(pl), idx[jl], -1),
-                    "pr": pr,
-                    "jr": np.where(np.isfinite(pr), idx[jr], -1),
+                    "pl": bpl,
+                    "jl": np.where(np.isfinite(bpl), bjl, -1),
+                    "pr": bpr,
+                    "jr": np.where(np.isfinite(bpr), bjr, -1),
                 })
             else:
                 # ignore_trivial=False contract: left/right profiles are
@@ -233,33 +283,110 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
                     "pr": np.full(nr, np.inf),
                     "jr": np.full(nr, -1, dtype=np.int64),
                 })
-            return pd.DataFrame(out)
+            frames = [pd.DataFrame(out)]
+            if emit_cols:
+                # off-diagonal upper tile: every col's neighbors here are
+                # left neighbors (j > i for all cells)
+                frames.append(pd.DataFrame({
+                    "i": np.arange(c0, c1), "p": cp,
+                    "j": np.where(np.isfinite(cp), cj, -1),
+                    "pl": cp,
+                    "jl": np.where(np.isfinite(cp), cj, -1),
+                    "pr": np.full(nc, np.inf),
+                    "jr": np.full(nc, -1, dtype=np.int64),
+                }))
+            return frames
 
-        def partials_topk(D, i0, j0):
-            """Per-row k smallest (p, j) candidates from a tile block."""
-            nr, nc = D.shape
-            kk = min(k, nc)
-            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-            r = np.arange(nr)[:, None]
-            vals = D[r, part]
-            rows_abs = np.repeat(np.arange(i0, i0 + nr), kk)
-            jabs = (part + j0).ravel()
-            pv = vals.ravel()
+        def _pad_cands(vals, jabs, kk):
+            """Pad per-row candidate blocks to exactly k columns."""
+            nr = vals.shape[0]
+            if kk < k:
+                vals = np.concatenate(
+                    [vals, np.full((nr, k - kk), np.inf)], axis=1)
+                jabs = np.concatenate(
+                    [jabs, np.full((nr, k - kk), -1, dtype=np.int64)],
+                    axis=1)
+            return vals, jabs
+
+        def _merge_tile_topk(val_blocks, j_blocks, i0, n_idx):
+            """Exact per-row top-k merge of padded candidate blocks via
+            one global lexsort on (row, val, j) — ties to the smaller j,
+            matching core._merge_topk_PI."""
+            vals = np.concatenate(val_blocks, axis=1)
+            jabs = np.concatenate(j_blocks, axis=1)
+            C = vals.shape[1]
+            rows = np.repeat(np.arange(n_idx), C)
+            order = np.lexsort((jabs.ravel(), vals.ravel(), rows))
+            vs = vals.ravel()[order].reshape(n_idx, C)[:, :k]
+            js = jabs.ravel()[order].reshape(n_idx, C)[:, :k]
             return pd.DataFrame({
-                "i": rows_abs, "p": pv,
-                "j": np.where(np.isfinite(pv), jabs, -1),
+                "i": np.repeat(np.arange(i0, i0 + n_idx), min(k, C)),
+                "p": vs.ravel(),
+                "j": np.where(np.isfinite(vs.ravel()), js.ravel(), -1),
             })
 
-        emit = partials_topk if k > 1 else partials
+        def eval_tile_topk(r0, r1, c0, c1, emit_cols):
+            nr, nc = r1 - r0, c1 - c0
+            wr = np.ascontiguousarray(windows[r0:r1])
+            wc_ = wr if (sj and r0 == c0) else \
+                np.ascontiguousarray(windows_B[c0:c1])
+            rv, rj = [], []
+            cv, cjn = [], []
+            for sr0 in range(0, nr, BR):
+                sr1 = min(sr0 + BR, nr)
+                a0, a1 = r0 + sr0, r0 + sr1
+                row_v = []
+                row_j = []
+                for sc0 in range(0, nc, BC):
+                    sc1 = min(sc0 + BC, nc)
+                    b0, b1 = c0 + sc0, c0 + sc1
+                    D = dist_sub(wr[sr0:sr1], wc_[sc0:sc1], a0, a1, b0, b1)
+                    kk = min(k, D.shape[1])
+                    part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                    vals = D[np.arange(D.shape[0])[:, None], part]
+                    v_p, j_p = _pad_cands(vals, part + b0, kk)
+                    row_v.append(v_p)
+                    row_j.append(j_p)
+                    if emit_cols:
+                        kkc = min(k, D.shape[0])
+                        partc = np.argpartition(D, kkc - 1,
+                                                axis=0)[:kkc, :].T
+                        valsc = D[partc, np.arange(D.shape[1])[:, None]]
+                        v_c, j_c = _pad_cands(valsc, partc + a0, kkc)
+                        cv.append((sc0, v_c))
+                        cjn.append((sc0, j_c))
+                rv.append(np.concatenate(row_v, axis=1))
+                rj.append(np.concatenate(row_j, axis=1))
+            frames = [_merge_tile_topk(
+                [np.concatenate(rv, axis=0)],
+                [np.concatenate(rj, axis=0)], r0, nr)]
+            if emit_cols:
+                # regroup col candidates: one block per row-strip, each
+                # covering col range sc0:sc0+width
+                n_strips = (nr + BR - 1) // BR
+                per_strip_v = [np.full((nc, k), np.inf)
+                               for _ in range(n_strips)]
+                per_strip_j = [np.full((nc, k), -1, dtype=np.int64)
+                               for _ in range(n_strips)]
+                si = 0
+                strip = 0
+                for (sc0, v_c), (_, j_c) in zip(cv, cjn):
+                    per_strip_v[strip][sc0:sc0 + v_c.shape[0]] = v_c
+                    per_strip_j[strip][sc0:sc0 + j_c.shape[0]] = j_c
+                    si += 1
+                    if sc0 + v_c.shape[0] >= nc:
+                        strip += 1
+                frames.append(_merge_tile_topk(per_strip_v, per_strip_j,
+                                               c0, nc))
+            return frames
+
+        eval_tile = eval_tile_topk if k > 1 else eval_tile_top1
         for pdf in batches:
             out = []
             for tr, tc in zip(pdf["tr"], pdf["tc"]):
                 r0, r1 = tr * tile, min((tr + 1) * tile, l)
                 c0, c1 = tc * tile, min((tc + 1) * tile, lb)
-                D = block(r0, r1, c0, c1)
-                out.append(emit(D, r0, c0))
-                if sj and tr != tc:
-                    out.append(emit(np.ascontiguousarray(D.T), c0, r0))
+                out.extend(eval_tile(r0, r1, c0, c1, sj and tr != tc))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
@@ -291,3 +418,51 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
         F.min("pr").alias("PR"),
         F.min_by("jr", F.struct(F.col("pr"), F.col("jr"))).alias("IR"),
     ))
+
+
+def mpdisted(spark: SparkSession, T_A, T_B, m: int,
+             percentage: float = 0.05, k: int | None = None,
+             tile: int = 8192, normalize: bool = True,
+             p: float = 2.0) -> float:
+    """Distributed MPdist between two over-limit series — the Spark
+    restatement of the reference's ``mpdisted`` (mpdist.py:134-254 with
+    the ``stumped`` distributed profile, mpdist.py:257-379): two tiled
+    AB-joins, union of the per-row top-1 profiles, k-th smallest selected
+    with Catalyst.
+
+    The selection is ``orderBy(P).limit(k+1) -> max`` — Spark plans the
+    limit as a distributed TakeOrdered (per-partition top-(k+1) merge),
+    so only k+1 rows cross a single task and nothing is collected; the
+    max of the k+1 smallest is the k-th smallest (0-based), exactly the
+    reference's ``P_ABBA[k]``.  Non-finite selection falls back to the
+    largest finite value (core.py:3276-3312 semantics).
+    """
+    import math
+
+    T_A = np.asarray(T_A, dtype=np.float64)
+    T_B = np.asarray(T_B, dtype=np.float64)
+    pab = distributed_matrix_profile(
+        spark, T_A, m, tile=tile, T_B=T_B, normalize=normalize,
+        p=p).select("P")
+    pba = distributed_matrix_profile(
+        spark, T_B, m, tile=tile, T_B=T_A, normalize=normalize,
+        p=p).select("P")
+    abba = pab.unionByName(pba)
+    la = len(T_A) - m + 1
+    lb = len(T_B) - m + 1
+    total = la + lb
+    n = len(T_A) + len(T_B)
+    if k is None:
+        k = min(int(math.ceil(percentage * n)), total - 1)
+    k = min(int(k), total - 1)
+    row = (abba.orderBy("P").limit(k + 1)
+           .agg(F.max("P").alias("kth"),
+                F.max(F.when(F.col("P") != float("inf"), F.col("P")))
+                .alias("max_finite_prefix")).collect()[0])
+    kth = row.kth
+    if kth is not None and np.isfinite(kth):
+        return float(kth)
+    # k-th value is inf: largest finite of the whole ABBA set
+    fin = (abba.where(F.col("P") != float("inf"))
+           .agg(F.max("P").alias("mx")).collect()[0].mx)
+    return float(fin) if fin is not None else float("inf")

@@ -114,3 +114,42 @@ def test_distributed_pnorm_p3(spark):
     P, I, _, _ = kernels.matrix_profile_absolute(T, m, p=3.0)
     npt.assert_almost_equal(P[:, 0], got.P.to_numpy(), decimal=8)
     npt.assert_array_equal(I[:, 0], got.I.to_numpy())
+
+
+def test_mpdisted_matches_single_node(spark):
+    """Distributed MPdist over tiled AB-joins == mining.mpdist, on a
+    pair long enough to span many tiles."""
+    from stumpy_spark.mining import mpdist
+    from stumpy_spark.plans.longseq import mpdisted
+    rs = np.random.RandomState(61)
+    T_A = rs.uniform(-100, 100, 900)
+    T_B = rs.uniform(-100, 100, 700)
+    m = 12
+    exp = mpdist(T_A, T_B, m)
+    got = mpdisted(spark, T_A, T_B, m, tile=256)
+    assert abs(exp - got) < 1e-9
+
+
+def test_mpdisted_nonfinite_fallback(spark):
+    from stumpy_spark.mining import mpdist
+    from stumpy_spark.plans.longseq import mpdisted
+    rs = np.random.RandomState(67)
+    T_A = rs.uniform(-10, 10, 300)
+    T_B = rs.uniform(-10, 10, 200)
+    T_A[50:260] = np.nan          # most AB rows go inf -> fallback path
+    m = 8
+    exp = mpdist(T_A, T_B, m, percentage=0.9)
+    got = mpdisted(spark, T_A, T_B, m, percentage=0.9, tile=128)
+    assert (np.isinf(exp) and np.isinf(got)) or abs(exp - got) < 1e-9
+
+
+def test_mpdisted_explicit_k_and_pnorm(spark):
+    from stumpy_spark.mining import mpdist
+    from stumpy_spark.plans.longseq import mpdisted
+    rs = np.random.RandomState(71)
+    T_A = rs.uniform(-100, 100, 400)
+    T_B = rs.uniform(-100, 100, 500)
+    m = 9
+    exp = mpdist(T_A, T_B, m, k=17, normalize=False)
+    got = mpdisted(spark, T_A, T_B, m, k=17, tile=200, normalize=False)
+    assert abs(exp - got) < 1e-9
