@@ -960,12 +960,57 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("frame_ts_ms").cast("long").alias("max_ts_ms")))
 
 
-# -- rows-only queries (no SQL-expressible oracle; pytest covers them) ------
-
-def _q_stump_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_stump_summary_m16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc profile summary (motif/discord values + motif positions)
+    over mid-length docs, bit-exact oracle via the power-of-two-m scheme
+    (m=16: window sums exact ints, /16 and mu^2 exact in binary) —
+    reference semantics stump.py:513-753 + mparray motif accessors."""
     from stumpy_spark.operators import profile_summary
-    df = _tokseq(spark, sf_dir).where(F.col("n_tok") >= 2 * M_DEFAULT)
-    return profile_summary(df, M_DEFAULT)
+    df = _tokseq(spark, sf_dir).where(
+        (F.col("n_tok") >= 65) & (F.col("n_tok") <= 128))
+    res = profile_summary(df, 16)
+    return res.select(
+        "doc_id", F.col("n_windows").cast("long").alias("n_windows"),
+        "min_p", "max_p",
+        F.col("motif_i").cast("long").alias("motif_i"),
+        F.col("motif_j").cast("long").alias("motif_j"))
+
+
+def _stump_summary_sql(glob: str) -> str:
+    return f"""
+WITH {_win_cte(glob, 65, 128, 16)},
+dist AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j,
+           {_d2_expr_m('a', 'b', 16)} AS d2
+    FROM stats a JOIN stats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 4
+),
+dd AS (SELECT doc_id, i, j,
+              sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+       FROM dist),
+prof AS (SELECT doc_id, i, MIN(d) AS p FROM dd GROUP BY doc_id, i),
+agg AS (SELECT doc_id, COUNT(*) AS n_windows,
+               MIN(p) AS min_p, MAX(p) AS max_p
+        FROM prof GROUP BY doc_id),
+mi AS (SELECT prof.doc_id, MIN(prof.i) AS motif_i
+       FROM prof JOIN agg ON prof.doc_id = agg.doc_id
+                AND prof.p = agg.min_p
+       GROUP BY prof.doc_id),
+mj AS (SELECT dd.doc_id, MIN(dd.j) AS motif_j
+       FROM dd
+       JOIN mi ON dd.doc_id = mi.doc_id AND dd.i = mi.motif_i
+       JOIN prof ON prof.doc_id = mi.doc_id AND prof.i = mi.motif_i
+       WHERE dd.d = prof.p
+       GROUP BY dd.doc_id)
+SELECT agg.doc_id, agg.n_windows::BIGINT AS n_windows,
+       agg.min_p, agg.max_p,
+       mi.motif_i::BIGINT AS motif_i, mj.motif_j::BIGINT AS motif_j
+FROM agg JOIN mi ON agg.doc_id = mi.doc_id
+JOIN mj ON agg.doc_id = mj.doc_id
+"""
+
+
+# -- rows-only queries (no SQL-expressible oracle; pytest covers them) ------
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,12 +1037,53 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
-def _q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stumpy_spark.functions.simsearch import lsh_knn
+def _lsh_pairs_fixture(sf_dir: str) -> str:
+    from stumpy_spark.sources.tokseq import FIXTURE_ROOT, sf_name
+    return os.path.join(FIXTURE_ROOT, f"lsh_pairs_{sf_name(sf_dir)}")
+
+
+def _q_lsh_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-kNN checked as *verified recall@5 against brute_knn* (whose own
+    oracle row is exact): the LSH candidate-pair set is materialized as a
+    fixture, both engines rerank it with the same rounded cosine and the
+    same tie-break, and the checked output is per-query hit counts and
+    recall.  Reference methodology analog: tests/naive.py exact twins."""
+    from stumpy_spark.functions.simsearch import (lsh_candidate_pairs,
+                                                  brute_knn, cosine_col)
+    from pyspark.sql import Window
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries = emb.where(F.col("vec_id") < 10)
     # n_bits=None auto-scales bucket count with the candidate set size
-    return lsh_knn(emb, queries, dim=64, k=5, n_bits=None, n_tables=8)
+    pairs = lsh_candidate_pairs(emb, queries, dim=64, n_bits=None,
+                                n_tables=8)
+    path = _lsh_pairs_fixture(sf_dir)
+    pairs.select("query_id", "cand_id").write.mode("overwrite") \
+        .parquet(path)
+    cand = spark.read.parquet(path)
+    scored = (cand
+              .join(emb.select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("qv")), "query_id")
+              .join(emb.select(F.col("vec_id").alias("cand_id"),
+                               F.col("embedding").alias("cv")), "cand_id")
+              .withColumn("score",
+                          F.round(cosine_col(F.col("qv"),
+                                             F.col("cv")), 6)))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col("cand_id").asc()))
+    lsh5 = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5).select("query_id", "cand_id"))
+    brute5 = brute_knn(emb.select("vec_id", "embedding"),
+                       queries.select("vec_id", "embedding").toPandas(),
+                       k=5, round_decimals=6).select("query_id", "cand_id")
+    hits = (brute5.join(lsh5, ["query_id", "cand_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    return (queries.select(F.col("vec_id").cast("long").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0))
+                    .alias("recall")))
 
 
 def _q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,9 +1145,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stump_topk_m8": _q_stump_topk_m8,
     "aampdist_pairs_m3": _q_aampdist_pairs_m3,
     "subspace_m8": _q_subspace_m8,
-    # rows-only (approximate / not SQL-expressible; validated in tests/)
-    "stump_summary_m25": _q_stump_summary,
-    "lsh_knn_k5": _q_lsh_knn,
+    "stump_summary_m16": _q_stump_summary_m16,
+    "lsh_knn_recall_k5": _q_lsh_knn_recall,
 }
 
 
@@ -1810,6 +1895,45 @@ WHERE 1 = 0
     out["stumpi_growing_m8"] = out["stump_m8_short"]
     out["mstump_m8"] = _mstump_sql(glob)
     out["mstump_discords_m8"] = _mstump_sql(glob, discords=True)
+    out["stump_summary_m16"] = _stump_summary_sql(glob)
+    lsh_glob = os.path.join(_lsh_pairs_fixture(sf), "*.parquet")
+    out["lsh_knn_recall_k5"] = f"""
+WITH cand AS (SELECT query_id, cand_id FROM read_parquet('{lsh_glob}')),
+scored AS (
+    SELECT c.query_id, c.cand_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])), 6) AS score
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.cand_id
+),
+lsh5 AS (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, cand_id) AS rn
+        FROM scored) WHERE rn <= 5
+),
+allp AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])), 6) AS score
+    FROM embeddings q JOIN embeddings e ON q.vec_id < 10
+),
+brute5 AS (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, cand_id) AS rn
+        FROM allp) WHERE rn <= 5
+)
+SELECT b.query_id::BIGINT AS query_id,
+       COUNT(l.cand_id)::BIGINT AS n_hits,
+       COUNT(l.cand_id) / 5.0 AS recall
+FROM brute5 b
+LEFT JOIN lsh5 l ON b.query_id = l.query_id AND b.cand_id = l.cand_id
+GROUP BY b.query_id
+"""
     out["ostinato_m8"] = _ostinato_sql(glob)
     out["stimp_m4_8_16"] = _stimp_sql(glob)
     out["scrump_full_m8"] = _scrump_sql(glob)

@@ -106,18 +106,29 @@ def hyperplane_signatures(df: DataFrame, dim: int, n_bits: int = 16,
     return df.withColumn("bucket", sig(F.col(vec_col)))
 
 
-def lsh_knn(cands: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-            n_bits: int | None = None, n_tables: int = 4,
-            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: union of per-table bucket joins + exact rerank.
+def cosine_col(qv, cv):
+    """Vectorized cosine of two embedding columns (Arrow-batched)."""
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = _normalize(np.stack(a.to_numpy()).astype(np.float64))
+        B = _normalize(np.stack(b.to_numpy()).astype(np.float64))
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+    return cos(qv, cv)
 
-    Each table uses a different hyperplane seed; query/candidate pairs
-    colliding in any table are scored exactly, then top-k per query.
+
+def lsh_candidate_pairs(cands: DataFrame, queries: DataFrame, dim: int,
+                        n_bits: int | None = None, n_tables: int = 4,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Candidate (query, cand) pairs from multi-table hyperplane LSH —
+    the bucketed-join stage of :func:`lsh_knn`, exposed so callers can
+    materialize or audit the candidate set (e.g. the driver oracle
+    reranks exactly this set in SQL).
 
     ``n_bits=None`` scales the bucket count with the candidate set (one
     count job): ~2^n_bits buckets sized for ~64 vectors each, clamped to
     [4, 24] — a fixed small n_bits turns the bucket join into a skewed
-    near-cross-join at 100x.
+    near-cross-join at 100x.  Returns (query_id, cand_id, qv, cv).
     """
     if n_bits is None:
         n_cands = cands.count()
@@ -136,16 +147,23 @@ def lsh_knn(cands: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                    "bucket")
              .drop("bucket"))
         pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["query_id", "cand_id"])
+    return pairs.dropDuplicates(["query_id", "cand_id"])
 
-    @F.pandas_udf("double")
-    def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        Qm = _normalize(np.stack(qv.to_numpy()).astype(np.float64))
-        Cm = _normalize(np.stack(cv.to_numpy()).astype(np.float64))
-        return pd.Series(np.einsum("ij,ij->i", Qm, Cm))
 
+def lsh_knn(cands: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+            n_bits: int | None = None, n_tables: int = 4,
+            vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: union of per-table bucket joins + exact rerank.
+
+    Each table uses a different hyperplane seed; query/candidate pairs
+    colliding in any table are scored exactly, then top-k per query.
+    """
+    pairs = lsh_candidate_pairs(cands, queries, dim, n_bits=n_bits,
+                                n_tables=n_tables, vec_col=vec_col,
+                                id_col=id_col)
     from pyspark.sql.window import Window
-    scored = pairs.withColumn("score", cos(F.col("qv"), F.col("cv")))
+    scored = pairs.withColumn("score",
+                              cosine_col(F.col("qv"), F.col("cv")))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("score").desc(), F.col("cand_id").asc()))
     return (scored.withColumn("rank", F.row_number().over(w))
