@@ -34,6 +34,25 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 M = 25
 
 
+def mem_probe_gbs() -> float:
+    """Effective single-thread DRAM streaming bandwidth right now, GB/s.
+
+    This VM shares a host with time-varying memory-bandwidth steal
+    (BENCH/BASELINE.md caveat): the same memory-bound query can vary ~4x
+    by host regime while cache-resident compute stays flat.  Every bench
+    JSON line carries this probe (before and after the timed section) so
+    reviewers can see the host regime each number was taken in.
+    """
+    import numpy as np
+    a = np.ones(10_000_000)                    # 80 MB stream
+    t0 = time.perf_counter()
+    b = np.cumsum(a)
+    dt = time.perf_counter() - t0
+    # cumsum reads+writes 2x80 MB; small enough that the probe stays
+    # cheap even in a badly-stolen window (observed: 0.01 GB/s regimes)
+    return round(0.16 / dt, 3) + (b[-1] * 0.0)
+
+
 def _spark(cpus: int):
     from stumpy_spark.session import get_spark
     return get_spark(app_name=f"bench-{cpus}", cpus=cpus)
@@ -108,6 +127,7 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         df_w = read_tokseq(spark, sf_dir)
         df_w.mapInPandas(lambda it: it, df_w.schema).count()
         n_docs = n_docs_for(sf_dir)
+        probe_before = mem_probe_gbs()
         results = {}
         for name, thunk in _queries(spark, sf_dir):
             # best-of-2 for the short queries: this VM shares a host with
@@ -133,6 +153,8 @@ def run_once(cpus: int, sf_dir: str) -> dict:
             "n_docs": n_docs,
             "rollup_throughput_seq_per_sec": round(
                 n_docs / results["rollup_cascade"], 1),
+            "mem_probe_gbs_before": probe_before,
+            "mem_probe_gbs_after": mem_probe_gbs(),
         }
     finally:
         spark.stop()
@@ -165,6 +187,7 @@ def _rollup_only(cpus: int, sf_dir: str) -> dict:
         # executors are warm; cold-start is not what the scaling criterion
         # is about)
         df.mapInPandas(lambda it: it, df.schema).count()
+        probe_before = mem_probe_gbs()
         t0 = time.time()
         raw = RT.per_sequence_stats_fused(df, m=M, include_profile=True)
         tiers = RT.cascade(raw)
@@ -175,7 +198,9 @@ def _rollup_only(cpus: int, sf_dir: str) -> dict:
         return {"cpus": cpus, "wall_sec": round(wall, 3),
                 "rows": rows,
                 "throughput_seq_per_sec": round(n_docs_for(sf_dir) / wall,
-                                                1)}
+                                                1),
+                "mem_probe_gbs_before": probe_before,
+                "mem_probe_gbs_after": mem_probe_gbs()}
     finally:
         spark.stop()
 
