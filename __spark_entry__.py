@@ -451,6 +451,155 @@ JOIN mj2 ON m.doc_id = mj2.doc_id
 """
 
 
+def _q_mmotifs_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional motif discovery with MDL dimensionality
+    selection (mmotifs.py:22-265 + core.py:4011-4042), d=2, one motif:
+    the full chain — mstump profile, z-norm + inverse-normal
+    discretization, residual-unique bit costs, argmin over k — is
+    reproduced in SQL (bin edges inlined as exact double literals)."""
+    from stumpy_spark.operators.discovery import mmotifs
+    df = _short_docs(spark, sf_dir)
+    dims = F.array(
+        F.transform("tokens", lambda x: x.cast("double")),
+        F.transform(F.reverse("tokens"), lambda x: x.cast("double")))
+    res = mmotifs(df.select("doc_id", dims.alias("dims")), 8,
+                  max_motifs=1)
+    return res.select(
+        "doc_id", F.col("motif_i").cast("long").alias("motif_i"),
+        F.col("nn_i").cast("long").alias("nn_i"),
+        F.col("kdim").cast("long").alias("kdim"),
+        F.try_element_at("dims", F.lit(1)).cast("long")
+        .alias("dim_first"))
+
+
+def _mmotifs_sql(glob: str) -> str:
+    from stumpy_spark.anytime import _inverse_norm_bins
+    edges = ", ".join(f"({v!r})" for v in _inverse_norm_bins(8))
+    case_t = " ".join(f"WHEN {i} THEN t{i}" for i in range(8))
+    return f"""
+WITH {_win8_cte(glob, 16, 64)},
+{_win8_cte(glob, 16, 64, prefix="r",
+           val="tq.tokens[len(tq.tokens) - g.i + 1]")},
+dist1 AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM stats a JOIN stats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+dd1 AS (SELECT doc_id, i, j,
+               sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+        FROM dist1),
+dist2 AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM rstats a JOIN rstats b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+dd2 AS (SELECT doc_id, i, j,
+               sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+        FROM dist2),
+kd AS MATERIALIZED (
+    SELECT dd1.doc_id, dd1.i, dd1.j,
+           least(dd1.d, dd2.d) AS p1,
+           (least(dd1.d, dd2.d) + greatest(dd1.d, dd2.d)) / 2 AS p2
+    FROM dd1 JOIN dd2 ON dd1.doc_id = dd2.doc_id AND dd1.i = dd2.i
+          AND dd1.j = dd2.j
+),
+prof AS MATERIALIZED (SELECT doc_id, i, MIN(p1) AS p1, MIN(p2) AS p2
+         FROM kd GROUP BY doc_id, i),
+mins AS (SELECT doc_id, MIN(p1) AS mp1, MIN(p2) AS mp2
+         FROM prof GROUP BY doc_id),
+mi1 AS (SELECT p.doc_id, MIN(p.i) AS i1 FROM prof p
+        JOIN mins ON p.doc_id = mins.doc_id AND p.p1 = mins.mp1
+        GROUP BY p.doc_id),
+mj1 AS (SELECT kd.doc_id, MIN(kd.j) AS j1 FROM kd
+        JOIN mi1 ON kd.doc_id = mi1.doc_id AND kd.i = mi1.i1
+        JOIN mins ON kd.doc_id = mins.doc_id
+        WHERE kd.p1 = mins.mp1
+        GROUP BY kd.doc_id),
+mi2 AS (SELECT p.doc_id, MIN(p.i) AS i2 FROM prof p
+        JOIN mins ON p.doc_id = mins.doc_id AND p.p2 = mins.mp2
+        GROUP BY p.doc_id),
+mj2 AS (SELECT kd.doc_id, MIN(kd.j) AS j2 FROM kd
+        JOIN mi2 ON kd.doc_id = mi2.doc_id AND kd.i = mi2.i2
+        JOIN mins ON kd.doc_id = mins.doc_id
+        WHERE kd.p2 = mins.mp2
+        GROUP BY kd.doc_id),
+sel AS MATERIALIZED (SELECT mi1.doc_id, mi1.i1, mj1.j1, mi2.i2, mj2.j2
+        FROM mi1 JOIN mj1 ON mi1.doc_id = mj1.doc_id
+        JOIN mi2 ON mi1.doc_id = mi2.doc_id
+        JOIN mj2 ON mi1.doc_id = mj2.doc_id),
+bins(edge) AS (VALUES {edges}),
+wall_ AS (
+    SELECT doc_id, pos, 0 AS dim, t0, t1, t2, t3, t4, t5, t6, t7,
+           mu, sig FROM stats
+    UNION ALL
+    SELECT doc_id, pos, 1, t0, t1, t2, t3, t4, t5, t6, t7, mu, sig
+    FROM rstats
+),
+need AS (
+    SELECT doc_id, 1 AS lvl, 0 AS role, i1 AS pos FROM sel
+    UNION ALL SELECT doc_id, 1, 1, j1 FROM sel
+    UNION ALL SELECT doc_id, 2, 0, i2 FROM sel
+    UNION ALL SELECT doc_id, 2, 1, j2 FROM sel
+),
+zv AS (
+    SELECT n.doc_id, n.lvl, n.role, w.dim, o.k,
+           (CAST(CASE o.k {case_t} END AS DOUBLE) - w.mu)
+             / (CASE WHEN w.sig < 1e-7 THEN 1.0 ELSE w.sig END) AS z
+    FROM need n
+    JOIN wall_ w ON w.doc_id = n.doc_id AND w.pos = n.pos
+    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) o(k)
+),
+disc AS MATERIALIZED (
+    SELECT doc_id, lvl, role, dim, k,
+           (SELECT COUNT(*) FROM bins b WHERE b.edge < zv.z) AS dv
+    FROM zv
+),
+resid AS MATERIALIZED (
+    SELECT s.doc_id, s.lvl, s.dim, s.k, s.dv - n.dv AS r
+    FROM disc s JOIN disc n
+      ON s.doc_id = n.doc_id AND s.lvl = n.lvl AND s.dim = n.dim
+         AND s.k = n.k AND s.role = 0 AND n.role = 1
+),
+ddim AS (SELECT doc_id, lvl, dim, SUM(r * r) AS dsq
+         FROM resid GROUP BY 1, 2, 3),
+dd2p AS (SELECT doc_id, lvl,
+                MAX(CASE WHEN dim = 0 THEN dsq END) AS d20,
+                MAX(CASE WHEN dim = 1 THEN dsq END) AS d21
+         FROM ddim GROUP BY 1, 2),
+firstdim AS (SELECT doc_id, lvl,
+                    CASE WHEN d20 <= d21 THEN 0 ELSE 1 END AS dim_first
+             FROM dd2p),
+nv AS (
+    SELECT r.doc_id, r.lvl, COUNT(DISTINCT r.r) AS n_val
+    FROM resid r JOIN firstdim f
+      ON r.doc_id = f.doc_id AND r.lvl = f.lvl
+    WHERE r.lvl = 2 OR r.dim = f.dim_first
+    GROUP BY 1, 2
+),
+bitsz AS (
+    SELECT doc_id,
+           MAX(CASE WHEN lvl = 1 THEN
+               192.0 + 8 * log2(CAST(n_val AS DOUBLE)) + 8 * n_val END)
+               AS bit1,
+           MAX(CASE WHEN lvl = 2 THEN
+               128.0 + 16 * log2(CAST(n_val AS DOUBLE)) + 8 * n_val END)
+               AS bit2
+    FROM nv GROUP BY doc_id
+),
+pick AS (SELECT doc_id, CASE WHEN bit1 <= bit2 THEN 1 ELSE 2 END AS kd
+         FROM bitsz)
+SELECT p.doc_id,
+       (CASE WHEN p.kd = 1 THEN sel.i1 ELSE sel.i2 END)::BIGINT
+           AS motif_i,
+       (CASE WHEN p.kd = 1 THEN sel.j1 ELSE sel.j2 END)::BIGINT AS nn_i,
+       p.kd::BIGINT AS kdim,
+       f.dim_first::BIGINT AS dim_first
+FROM pick p
+JOIN sel ON sel.doc_id = p.doc_id
+JOIN firstdim f ON f.doc_id = p.doc_id AND f.lvl = p.kd
+"""
+
+
 def _q_ostinato_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consensus motif per source over very short docs (16-18 tokens):
     the subsequence minimizing the max nearest-neighbor distance to every
@@ -1129,6 +1278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stumpi_growing_m8": _q_stumpi_growing_m8,
     "mstump_m8": _q_mstump_m8,
     "mstump_discords_m8": _q_mstump_discords_m8,
+    "mmotifs_m8": _q_mmotifs_m8,
     "ostinato_m8": _q_ostinato_m8,
     "stimp_m4_8_16": _q_stimp_m4_8_16,
     "scrump_full_m8": _q_scrump_full_m8,
@@ -1896,6 +2046,7 @@ WHERE 1 = 0
     out["mstump_m8"] = _mstump_sql(glob)
     out["mstump_discords_m8"] = _mstump_sql(glob, discords=True)
     out["stump_summary_m16"] = _stump_summary_sql(glob)
+    out["mmotifs_m8"] = _mmotifs_sql(glob)
     lsh_glob = os.path.join(_lsh_pairs_fixture(sf), "*.parquet")
     out["lsh_knn_recall_k5"] = f"""
 WITH cand AS (SELECT query_id, cand_id FROM read_parquet('{lsh_glob}')),

@@ -360,3 +360,45 @@ def scrump(df: DataFrame, m: int, percentage: float = 0.1,
 
     return df.select(id_col, tokens_col).mapInPandas(
         run, schema=_SCRUMP_SCHEMA)
+
+
+_MMOTIFS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("motif_rank", T.IntegerType()),
+    T.StructField("motif_i", T.LongType()),
+    T.StructField("nn_i", T.LongType()),
+    T.StructField("kdim", T.LongType()),
+    T.StructField("dims", T.ArrayType(T.LongType())),
+])
+
+
+def mmotifs(df: DataFrame, m: int, max_motifs: int = 1,
+            id_col: str = "doc_id", dims_col: str = "dims",
+            include=None, discords: bool = False) -> DataFrame:
+    """Multi-dimensional motif discovery per sequence — the reference's
+    ``mmotifs`` (mmotifs.py:22-265, default parameters): the motif pair
+    on the MDL-optimal dimensionality, iterated with exclusion.  Emits
+    one row per (sequence, motif rank) with the selected dimensionality
+    and subspace dimensions (in subspace-selection order)."""
+    from ..anytime import mmotifs as _mmotifs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, dims in zip(pdf[id_col], pdf[dims_col]):
+                Ts = np.asarray([np.asarray(d, dtype=np.float64)
+                                 for d in dims])
+                if Ts.ndim != 2 or Ts.shape[1] < 2 * m:
+                    continue
+                res = _mmotifs(Ts, m, max_motifs=max_motifs,
+                               include=include, discords=discords)
+                for rank, (mi, ni, kdim, sdims) in enumerate(res):
+                    rows.append((did, rank, mi, ni, kdim,
+                                 [int(x) for x in sdims]))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "motif_rank", "motif_i", "nn_i", "kdim",
+                    "dims"])
+
+    return df.select(id_col, dims_col).mapInPandas(
+        run, schema=_MMOTIFS_SCHEMA)

@@ -370,7 +370,8 @@ class StumpiState:
 
 
 def stumpi_stream(stream_df, m: int, window_n: int,
-                  timeout_ms: int = 60000, normalize: bool = True):
+                  timeout_ms: int = 60000, normalize: bool = True,
+                  k: int = 1):
     """Wire StumpiState (or AampiState when ``normalize=False`` — the
     aampi reroute) into Structured Streaming.
 
@@ -378,8 +379,12 @@ def stumpi_stream(stream_df, m: int, window_n: int,
     ``(doc_id string, pos long, value double)``; rows for a doc must arrive
     in ``pos`` order within a batch (cross-batch ordering is the source's
     responsibility, e.g. Kafka per-key ordering).  Emits one row per
-    processed batch per key with the current profile arrays.
+    processed batch per key with the current profile arrays; for ``k > 1``
+    the P/I arrays are row-major flattened (l, k) top-k profiles
+    (``k`` is only supported on the normalized path).
     """
+    if k > 1 and not normalize:
+        raise ValueError("k > 1 requires normalize=True (aampi is top-1)")
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
@@ -431,7 +436,10 @@ def stumpi_stream(stream_df, m: int, window_n: int,
             st, buf = None, []
         buf.extend(vals)
         if st is None and len(buf) >= window_n:
-            st = state_cls(np.asarray(buf[:window_n]), m)
+            if k > 1:
+                st = state_cls(np.asarray(buf[:window_n]), m, k=k)
+            else:
+                st = state_cls(np.asarray(buf[:window_n]), m)
             buf = buf[window_n:]
         if st is not None:
             for v in buf:
@@ -444,9 +452,11 @@ def stumpi_stream(stream_df, m: int, window_n: int,
                           [int(x) for x in tup[7]], tup[8], tup[9],
                           tup[10], tup[11], buf))
             n_seen = st.n + st.n_appended
+            P_out = np.asarray(st.P_).ravel()
+            I_out = np.asarray(st.I_).ravel()
             yield pd.DataFrame({"doc_id": [doc_id], "n_seen": [n_seen],
-                                "P": [list(st.P_)],
-                                "I": [[int(x) for x in st.I_]]})
+                                "P": [list(P_out)],
+                                "I": [[int(x) for x in I_out]]})
         else:
             state.update((m, window_n, 0, [], [], [], [], [], [], [],
                           [], [], buf))

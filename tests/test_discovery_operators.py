@@ -160,3 +160,25 @@ def test_scrump_operator(spark, seq_df):
         row = res[res.doc_id == did].iloc[0]
         np.testing.assert_almost_equal(row.approx_min_p,
                                        P[np.isfinite(P)].min(), decimal=5)
+
+
+def test_mmotifs_operator(spark):
+    rs = np.random.RandomState(53)
+    rows = []
+    for i in range(3):
+        dims = rs.uniform(-100, 100, (3, 60))
+        # plant a 2-dim motif in dims 0 and 2
+        pat = rs.uniform(-100, 100, 6)
+        for d in (0, 2):
+            dims[d, 10:16] = pat
+            dims[d, 40:46] = pat + rs.normal(0, 0.001, 6)
+        rows.append((f"mm{i}", [list(d) for d in dims]))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "dims"])
+    res = D.mmotifs(spark.createDataFrame(pdf), 6).toPandas()
+    from stumpy_spark.anytime import mmotifs as ref
+    assert len(res) == 3
+    for did, dims in rows:
+        exp = ref(np.asarray(dims), 6, max_motifs=1)[0]
+        row = res[res.doc_id == did].iloc[0]
+        assert (row.motif_i, row.nn_i, row.kdim) == exp[:3]
+        assert list(row.dims) == exp[3]
