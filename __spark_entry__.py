@@ -1191,21 +1191,16 @@ def _lsh_pairs_fixture(sf_dir: str) -> str:
     return os.path.join(FIXTURE_ROOT, f"lsh_pairs_{sf_name(sf_dir)}")
 
 
-def _q_lsh_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-kNN checked as *verified recall@5 against brute_knn* (whose own
-    oracle row is exact): the LSH candidate-pair set is materialized as a
-    fixture, both engines rerank it with the same rounded cosine and the
-    same tie-break, and the checked output is per-query hit counts and
-    recall.  Reference methodology analog: tests/naive.py exact twins."""
-    from stumpy_spark.functions.simsearch import (lsh_candidate_pairs,
-                                                  brute_knn, cosine_col)
+def _ann_recall_query(spark: SparkSession, sf_dir: str, pairs: DataFrame,
+                      path: str) -> DataFrame:
+    """Shared ANN-verified-recall scaffold: materialize the candidate-pair
+    set as a fixture, rerank it with the same rounded cosine + tie-break
+    in both engines, and report per-query hits/recall@5 vs brute_knn
+    (whose own oracle row is exact)."""
+    from stumpy_spark.functions.simsearch import brute_knn, cosine_col
     from pyspark.sql import Window
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries = emb.where(F.col("vec_id") < 10)
-    # n_bits=None auto-scales bucket count with the candidate set size
-    pairs = lsh_candidate_pairs(emb, queries, dim=64, n_bits=None,
-                                n_tables=8)
-    path = _lsh_pairs_fixture(sf_dir)
     pairs.select("query_id", "cand_id").write.mode("overwrite") \
         .parquet(path)
     cand = spark.read.parquet(path)
@@ -1233,6 +1228,34 @@ def _q_lsh_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)) / F.lit(5.0))
                     .alias("recall")))
+
+
+def _q_lsh_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-kNN checked as verified recall@5 (see _ann_recall_query)."""
+    from stumpy_spark.functions.simsearch import lsh_candidate_pairs
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 10)
+    # n_bits=None auto-scales bucket count with the candidate set size
+    pairs = lsh_candidate_pairs(emb, queries, dim=64, n_bits=None,
+                                n_tables=8)
+    return _ann_recall_query(spark, sf_dir, pairs,
+                             _lsh_pairs_fixture(sf_dir))
+
+
+def _ivf_pairs_fixture(sf_dir: str) -> str:
+    from stumpy_spark.sources.tokseq import FIXTURE_ROOT, sf_name
+    return os.path.join(FIXTURE_ROOT, f"ivf_pairs_{sf_name(sf_dir)}")
+
+
+def _q_ivf_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-kNN (spherical-k-means coarse quantizer + probed-bucket exact
+    rerank) checked as verified recall@5 (see _ann_recall_query)."""
+    from stumpy_spark.functions.simsearch import ivf_candidate_pairs
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 10)
+    pairs = ivf_candidate_pairs(emb, queries, dim=64, n_probe=8)
+    return _ann_recall_query(spark, sf_dir, pairs,
+                             _ivf_pairs_fixture(sf_dir))
 
 
 def _q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,6 +1320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subspace_m8": _q_subspace_m8,
     "stump_summary_m16": _q_stump_summary_m16,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
+    "ivf_knn_recall_k5": _q_ivf_knn_recall,
 }
 
 
@@ -2048,43 +2072,9 @@ WHERE 1 = 0
     out["stump_summary_m16"] = _stump_summary_sql(glob)
     out["mmotifs_m8"] = _mmotifs_sql(glob)
     lsh_glob = os.path.join(_lsh_pairs_fixture(sf), "*.parquet")
-    out["lsh_knn_recall_k5"] = f"""
-WITH cand AS (SELECT query_id, cand_id FROM read_parquet('{lsh_glob}')),
-scored AS (
-    SELECT c.query_id, c.cand_id,
-           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                 CAST(e.embedding AS DOUBLE[])), 6) AS score
-    FROM cand c
-    JOIN embeddings q ON q.vec_id = c.query_id
-    JOIN embeddings e ON e.vec_id = c.cand_id
-),
-lsh5 AS (
-    SELECT query_id, cand_id FROM (
-        SELECT query_id, cand_id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, cand_id) AS rn
-        FROM scored) WHERE rn <= 5
-),
-allp AS (
-    SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
-           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                 CAST(e.embedding AS DOUBLE[])), 6) AS score
-    FROM embeddings q JOIN embeddings e ON q.vec_id < 10
-),
-brute5 AS (
-    SELECT query_id, cand_id FROM (
-        SELECT query_id, cand_id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, cand_id) AS rn
-        FROM allp) WHERE rn <= 5
-)
-SELECT b.query_id::BIGINT AS query_id,
-       COUNT(l.cand_id)::BIGINT AS n_hits,
-       COUNT(l.cand_id) / 5.0 AS recall
-FROM brute5 b
-LEFT JOIN lsh5 l ON b.query_id = l.query_id AND b.cand_id = l.cand_id
-GROUP BY b.query_id
-"""
+    ivf_glob = os.path.join(_ivf_pairs_fixture(sf), "*.parquet")
+    out["lsh_knn_recall_k5"] = _ann_recall_sql(lsh_glob)
+    out["ivf_knn_recall_k5"] = _ann_recall_sql(ivf_glob)
     out["ostinato_m8"] = _ostinato_sql(glob)
     out["stimp_m4_8_16"] = _stimp_sql(glob)
     out["scrump_full_m8"] = _scrump_sql(glob)
@@ -2135,6 +2125,46 @@ FROM read_parquet('{media_glob}')
 WHERE mime LIKE 'video/%'
 """
     return out
+
+
+def _ann_recall_sql(pairs_glob: str) -> str:
+    return f"""
+WITH cand AS (SELECT query_id, cand_id FROM read_parquet('{pairs_glob}')),
+scored AS (
+    SELECT c.query_id, c.cand_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])), 6) AS score
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.cand_id
+),
+lsh5 AS (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, cand_id) AS rn
+        FROM scored) WHERE rn <= 5
+),
+allp AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])), 6) AS score
+    FROM embeddings q JOIN embeddings e ON q.vec_id < 10
+),
+brute5 AS (
+    SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, cand_id) AS rn
+        FROM allp) WHERE rn <= 5
+)
+SELECT b.query_id::BIGINT AS query_id,
+       COUNT(l.cand_id)::BIGINT AS n_hits,
+       COUNT(l.cand_id) / 5.0 AS recall
+FROM brute5 b
+LEFT JOIN lsh5 l ON b.query_id = l.query_id AND b.cand_id = l.cand_id
+GROUP BY b.query_id
+"""
 
 
 # The sf0.001 / sf0.01 tokseq fixture parquet is committed to the repo

@@ -8,6 +8,10 @@
 - :func:`lsh_knn` — scale path: random-hyperplane signatures bucket both
   sides; exact rerank only within buckets.  Recall < 1 by design; use
   multiple tables (``n_tables``) to trade compute for recall.
+- :func:`ivf_knn` — the other scale path (IVF-flat): a seeded spherical
+  k-means coarse quantizer trained on a bounded sample partitions the
+  candidates; queries probe their ``n_probe`` nearest centroids and
+  rerank exactly within.  Deterministic end to end.
 - :func:`embedding_near_dup` — near-duplicate pairs by cosine ≥ threshold,
   LSH-bucketed.
 """
@@ -194,3 +198,96 @@ def embedding_near_dup(df: DataFrame, dim: int, threshold: float = 0.95,
     return (cand.withColumn("score", cos(F.col("va"), F.col("vb")))
             .where(F.col("score") >= threshold)
             .select("id_a", "id_b", "score"))
+
+
+def _spherical_kmeans(M: np.ndarray, n_centroids: int, seed: int = 42,
+                      n_iter: int = 10) -> np.ndarray:
+    """Deterministic seeded spherical k-means (Lloyd on normalized
+    vectors, cosine assignment).  Driver-side over a bounded sample —
+    the coarse-quantizer training step of IVF."""
+    M = _normalize(M)
+    rs = np.random.RandomState(seed)
+    C = M[rs.choice(len(M), size=n_centroids, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(M @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = M[assign == c]
+            if len(members):
+                C[c] = members.sum(axis=0)
+            else:
+                # deterministic empty-cluster reseed: the point farthest
+                # from its centroid
+                d = 1.0 - np.einsum("ij,ij->i", M, C[assign])
+                C[c] = M[int(np.argmax(d))]
+        C = _normalize(C)
+    return C
+
+
+def ivf_candidate_pairs(cands: DataFrame, queries: DataFrame, dim: int,
+                        n_centroids: int | None = None, n_probe: int = 4,
+                        seed: int = 42, train_sample: int = 50_000,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """IVF candidate (query, cand) pairs: a coarse spherical-k-means
+    quantizer (trained driver-side on a bounded, deterministic sample)
+    assigns every candidate to its nearest centroid; each query probes
+    its ``n_probe`` nearest centroids and meets the candidates there via
+    an equi-join on centroid id.
+
+    Scale shape: the centroid table is closure-broadcast (tiny); the
+    only shuffle is the bucket equi-join keyed by centroid id, sized by
+    ``n_centroids`` (default ~sqrt(n) → ~sqrt(n) vectors per bucket).
+    Returns (query_id, cand_id, qv, cv).
+    """
+    n_cands = cands.count()
+    if n_centroids is None:
+        n_centroids = int(min(4096, max(4, np.sqrt(n_cands))))
+    train = (cands.orderBy(id_col).limit(train_sample)
+             .select(vec_col).toPandas())
+    C = _spherical_kmeans(
+        np.stack(train[vec_col].to_numpy()).astype(np.float64),
+        n_centroids, seed=seed)
+
+    @F.pandas_udf("integer")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        M = _normalize(np.stack(vecs.to_numpy()).astype(np.float64))
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    probe_schema = "array<integer>"
+
+    @F.pandas_udf(probe_schema)
+    def probes(vecs: pd.Series) -> pd.Series:
+        M = _normalize(np.stack(vecs.to_numpy()).astype(np.float64))
+        S = M @ C.T
+        npb = min(n_probe, S.shape[1])
+        part = np.argpartition(-S, npb - 1, axis=1)[:, :npb]
+        return pd.Series([list(map(int, row)) for row in part])
+
+    cs = cands.select(F.col(id_col).alias("cand_id"),
+                      F.col(vec_col).alias("cv"),
+                      nearest(F.col(vec_col)).alias("cent"))
+    qs = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qv"),
+                         probes(F.col(vec_col)).alias("_probes"))
+          .withColumn("cent", F.explode("_probes")).drop("_probes"))
+    return qs.join(cs, "cent").drop("cent")
+
+
+def ivf_knn(cands: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+            n_centroids: int | None = None, n_probe: int = 4,
+            seed: int = 42, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: coarse-quantizer bucket join + exact cosine
+    rerank within the probed buckets (the classic IVF-flat layout).
+    Recall is tuned by ``n_probe`` (and ``n_centroids``)."""
+    pairs = ivf_candidate_pairs(cands, queries, dim,
+                                n_centroids=n_centroids, n_probe=n_probe,
+                                seed=seed, vec_col=vec_col, id_col=id_col)
+    from pyspark.sql.window import Window
+    scored = pairs.withColumn("score",
+                              cosine_col(F.col("qv"), F.col("cv")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col("cand_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "score", "rank"))

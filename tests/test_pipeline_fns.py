@@ -216,3 +216,27 @@ def test_embedding_near_dup_self(spark, emb):
     found = set(zip(pairs.id_a, pairs.id_b))
     for vid in pdf.vec_id:
         assert (vid, vid + 1_000_000) in found
+
+
+def test_ivf_knn_recall_and_determinism(emb):
+    pdf = emb.toPandas()
+    queries = emb.limit(10)
+    exact = simsearch.brute_knn(emb, pdf.head(10), k=5).toPandas()
+    a1 = simsearch.ivf_knn(emb, queries, dim=64, k=5, n_centroids=16,
+                           n_probe=4).toPandas()
+    a2 = simsearch.ivf_knn(emb, queries, dim=64, k=5, n_centroids=16,
+                           n_probe=4).toPandas()
+    # deterministic across runs (seeded quantizer, deterministic sample)
+    pd.testing.assert_frame_equal(
+        a1.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        a2.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    hits = total = 0
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].cand_id)
+        a = set(a1[a1.query_id == qid].cand_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total > 0.5      # 4 of 16 buckets probed
+    # self is always found (probe contains own centroid)
+    for qid in a1.query_id.unique():
+        assert qid in set(a1[a1.query_id == qid].cand_id)
