@@ -106,6 +106,19 @@ def _q_gapfill_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_mean")
 
 
+def _q_gapfill_1h_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with time-weighted linear interpolation for non-additive
+    stat columns (TimescaleDB ``interpolate`` analog); edges stay NULL."""
+    from stumpy_spark.rollup import tiers as RT
+    from stumpy_spark.rollup.gapfill import gapfill
+    raw = RT.per_sequence_stats_fused(_tokseq(spark, sf_dir), m=M_DEFAULT)
+    t1h = RT.rollup_tier(raw, "1h")
+    return gapfill(t1h, "1h", interpolate=True).select(
+        "source", F.col("bucket").cast("string").alias("bucket"),
+        F.col("n_seq").cast("long").alias("n_seq"),
+        "max_mean")
+
+
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke: metadata-only aggregate over the
     synthetic media table (binary blobs never read).  The table is
@@ -1281,6 +1294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1d": _rollup("1d"),
     "gapfill_1h": _q_gapfill_1h,
     "gapfill_1h_locf": _q_gapfill_1h_locf,
+    "gapfill_1h_interp": _q_gapfill_1h_interp,
     "sliding_stats_m25": _q_sliding_stats,
     "distinct_tokens_1d": _q_distinct_tokens_1d,
     "aamp_m3_short": _q_aamp_m3_short,
@@ -1697,6 +1711,51 @@ SELECT s.source, CAST(s.bucket AS VARCHAR) AS bucket,
        COALESCE(a.sum_n_tok, 0)::BIGINT AS sum_n_tok
 FROM spine s LEFT JOIN agg a
   ON s.source = a.source AND s.bucket = a.bucket
+""",
+        "gapfill_1h_interp": f"""
+WITH {_PERDOC_CTE.format(glob=glob, m=M_DEFAULT, m_minus_1=M_DEFAULT - 1)},
+agg AS (
+    SELECT source, date_trunc('hour', event_ts) AS bucket,
+           COUNT(*)::BIGINT AS n_seq, MAX(max_mean) AS max_mean
+    FROM perdoc GROUP BY 1, 2
+),
+bounds AS (
+    SELECT source, MIN(bucket) AS lo, MAX(bucket) AS hi
+    FROM agg GROUP BY source
+),
+spine AS (
+    SELECT source, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        AS bucket
+    FROM bounds
+),
+joined AS (
+    SELECT s.source, s.bucket,
+           COALESCE(a.n_seq, 0)::BIGINT AS n_seq, a.max_mean
+    FROM spine s LEFT JOIN agg a
+      ON s.source = a.source AND s.bucket = a.bucket
+),
+wi AS (
+    SELECT source, bucket, n_seq, max_mean,
+           last_value(max_mean IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN max_mean IS NOT NULL
+                           THEN epoch(bucket) END IGNORE NULLS)
+               OVER wp AS pb,
+           first_value(max_mean IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN max_mean IS NOT NULL
+                            THEN epoch(bucket) END IGNORE NULLS)
+               OVER wn AS nb
+    FROM joined
+    WINDOW wp AS (PARTITION BY source ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY source ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT source, CAST(bucket AS VARCHAR) AS bucket, n_seq,
+       CASE WHEN max_mean IS NOT NULL THEN max_mean
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * ((epoch(bucket) - pb) / (nb - pb))
+       END AS max_mean
+FROM wi
 """,
         "gapfill_1h_locf": f"""
 WITH {_PERDOC_CTE.format(glob=glob, m=M_DEFAULT, m_minus_1=M_DEFAULT - 1)},

@@ -56,14 +56,23 @@ def _tier_rows_estimate(tier_df: DataFrame) -> float:
 
 
 def gapfill(tier_df: DataFrame, tier: str, start=None, end=None,
-            locf: bool = False, broadcast: bool | None = None) -> DataFrame:
-    """Fill missing buckets: zeros for additive cols, NULL/LOCF for others.
+            locf: bool = False, interpolate: bool = False,
+            broadcast: bool | None = None) -> DataFrame:
+    """Fill missing buckets: zeros for additive cols; NULL, LOCF, or
+    linear interpolation for the others.
+
+    ``interpolate=True`` fills a gap linearly between the previous and
+    next *observed* values (time-weighted by bucket position); buckets
+    before the first / after the last observation stay NULL — no
+    extrapolation.  Mutually exclusive with ``locf``.
 
     ``broadcast``: force (True/False) the broadcast of the aggregated tier
     side; default auto — broadcast only when Catalyst's size estimate is
     under ``BROADCAST_ROW_LIMIT`` rows, else shuffle-join on the unskewed
     (source, bucket) key and let AQE pick the strategy at runtime.
     """
+    if locf and interpolate:
+        raise ValueError("locf and interpolate are mutually exclusive")
     spine = bucket_spine(tier_df, tier, start=start, end=end)
     if broadcast is None:
         broadcast = _tier_rows_estimate(tier_df) <= BROADCAST_ROW_LIMIT
@@ -82,4 +91,24 @@ def gapfill(tier_df: DataFrame, tier: str, start=None, end=None,
                 continue
             filled = filled.withColumn(
                 c, F.last(F.col(c), ignorenulls=True).over(w))
+    elif interpolate:
+        wp = (Window.partitionBy("source").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wn = (Window.partitionBy("source").orderBy("bucket")
+              .rowsBetween(0, Window.unboundedFollowing))
+        eb = F.unix_timestamp("bucket")
+        for c in tier_df.columns:
+            if c in ("source", "bucket") or c in _ZERO_FILL:
+                continue
+            col = F.col(c)
+            obs_b = F.when(col.isNotNull(), eb)
+            pv = F.last(col, ignorenulls=True).over(wp)
+            pb = F.last(obs_b, ignorenulls=True).over(wp)
+            nv = F.first(col, ignorenulls=True).over(wn)
+            nb = F.first(obs_b, ignorenulls=True).over(wn)
+            interp = pv + (nv - pv) * ((eb - pb) / (nb - pb))
+            filled = filled.withColumn(
+                c,
+                F.when(col.isNotNull(), col)
+                .when(pv.isNotNull() & nv.isNotNull(), interp))
     return filled

@@ -199,3 +199,38 @@ def test_checkpoint_resume(spark, tmp_path):
     man = manifest.read(spark).toPandas()
     assert len(man) == 3
     assert man.row_count.sum() == 120
+
+
+def test_gapfill_interpolate(raw):
+    """Linear interpolation: gap values lie on the line between the
+    neighboring observed buckets (time-weighted); observed rows are
+    untouched; edges (before first / after last observation) stay NULL;
+    locf+interpolate together is rejected."""
+    t1h = RT.rollup_tier(raw, "1h")
+    plain = gapfill(t1h, "1h").toPandas()
+    filled = gapfill(t1h, "1h", interpolate=True).toPandas()
+    merged = filled.merge(
+        plain[["source", "bucket", "max_mean"]].rename(
+            columns={"max_mean": "obs"}),
+        on=["source", "bucket"])
+    for src, grp in merged.sort_values("bucket").groupby("source"):
+        obs = grp[~grp.obs.isna()]
+        if len(obs) < 2:
+            continue
+        # observed rows unchanged
+        pd.testing.assert_series_equal(
+            obs.max_mean, obs.obs, check_names=False)
+        ts = grp.bucket.map(pd.Timestamp.timestamp)
+        o_ts = obs.bucket.map(pd.Timestamp.timestamp).to_numpy()
+        o_v = obs.obs.to_numpy()
+        inside = grp[(ts >= o_ts[0]) & (ts <= o_ts[-1])]
+        exp = np.interp(inside.bucket.map(pd.Timestamp.timestamp),
+                        o_ts, o_v)
+        np.testing.assert_allclose(inside.max_mean.to_numpy(), exp,
+                                   rtol=1e-12)
+        # no extrapolation outside the observed range
+        outside = grp[(ts < o_ts[0]) | (ts > o_ts[-1])]
+        assert outside.max_mean.isna().all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        gapfill(t1h, "1h", locf=True, interpolate=True)
