@@ -41,6 +41,8 @@ atsc / allc         mining.atsc / mining.allc;
                     operators.discovery.longest_chain
 stimp / stimped     mining.stimp_pan (+ bfs order);
                     operators.discovery.stimp;
+                    plans.longseq.stimped (one over-limit series, one
+                    tiled self-join per window size in BFS order);
                     mining.pan_transform (PAN_ normalize/contrast/
                     binarize/clip transforms, stimp.py:272-330)
 gpu_*               out of scope (CPU Spark); the GPU tiling pattern is

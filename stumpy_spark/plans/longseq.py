@@ -466,3 +466,33 @@ def mpdisted(spark: SparkSession, T_A, T_B, m: int,
     fin = (abba.where(F.col("P") != float("inf"))
            .agg(F.max("P").alias("mx")).collect()[0].mx)
     return float(fin) if fin is not None else float("inf")
+
+
+def stimped(spark: SparkSession, T_arr, m_values, tile: int = 8192,
+            normalize: bool = True, p: float = 2.0) -> DataFrame:
+    """Distributed pan matrix profile for one over-limit series — the
+    Spark restatement of the reference's ``stimped`` (stimp.py:372-520):
+    one tiled self-join per window size, window sizes submitted in BFS
+    order (core.py:3072-3211, the anytime convergence order — early rows
+    of the pan are the most informative, so a consumer reading results
+    incrementally sees the same refinement sequence as the reference).
+
+    Returns DataFrame (m, i, P) — the pan rows, one per (window size,
+    position).
+    """
+    from ..mining import bfs_order
+    T_arr = np.asarray(T_arr, dtype=np.float64)
+    out = None
+    for m in bfs_order(list(m_values)):
+        if len(T_arr) < 2 * m:
+            continue
+        prof = distributed_matrix_profile(
+            spark, T_arr, int(m), tile=tile, normalize=normalize, p=p)
+        # positional rename: "i" and "I" collide under Spark's
+        # case-insensitive column resolution
+        prof = prof.toDF("i", "P", "I_nn", "PL", "IL", "PR", "IR")
+        row = prof.select(F.lit(int(m)).alias("m"), "i", "P")
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("no window size fits the series (need n >= 2m)")
+    return out

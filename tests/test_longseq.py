@@ -153,3 +153,18 @@ def test_mpdisted_explicit_k_and_pnorm(spark):
     exp = mpdist(T_A, T_B, m, k=17, normalize=False)
     got = mpdisted(spark, T_A, T_B, m, k=17, tile=200, normalize=False)
     assert abs(exp - got) < 1e-9
+
+
+def test_stimped_matches_single_node(spark):
+    from stumpy_spark.mining import stimp_pan
+    from stumpy_spark.plans.longseq import stimped
+    rs = np.random.RandomState(73)
+    T = rs.uniform(-100, 100, 600)
+    m_values = [4, 8, 16]
+    exp = stimp_pan(T, m_values)
+    got = stimped(spark, T, m_values, tile=128).toPandas()
+    assert set(got.m) == set(exp)
+    for m, P in exp.items():
+        sub = got[got.m == m].sort_values("i")
+        assert len(sub) == len(P)
+        np.testing.assert_allclose(sub.P.to_numpy(), P, atol=1e-9)
