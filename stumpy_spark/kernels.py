@@ -773,8 +773,10 @@ def matrix_profile_absolute(
     B = A if self_join else np.asarray(T_B, np.float64)
     fin_A = rolling_isfinite(A, m)
     fin_B = fin_A if self_join else rolling_isfinite(B, m)
-    Ac = np.nan_to_num(A)
-    Bc = np.nan_to_num(B)
+    # zero non-finite (aamp.py:38-55 contract; NOT nan_to_num, which maps
+    # inf -> 1.8e308 and overflows the squared sums in masked cells)
+    Ac = np.where(np.isfinite(A), A, 0.0)
+    Bc = np.where(np.isfinite(B), B, 0.0)
     la = A.shape[0] - m + 1
     lb = B.shape[0] - m + 1
     ez = excl_zone(m) if self_join else -1

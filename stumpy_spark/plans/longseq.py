@@ -91,7 +91,7 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
         # window square-sums for the p == 2 GEMM expansion
         def prep_abs(X):
             fin = kernels.rolling_isfinite(X, m)
-            Xc = np.nan_to_num(X)
+            Xc = np.where(np.isfinite(X), X, 0.0)   # inf -> 0, not 2e308
             cs = np.concatenate(([0.0], np.cumsum(Xc * Xc)))
             return Xc, cs[m:] - cs[:-m], None, fin, None
         prepA = prep_abs(T_arr)

@@ -102,6 +102,120 @@ class FlossState:
         return out
 
 
+class GrowingAampiState:
+    """Incremental non-normalized (p-norm) matrix profile, growing mode —
+    the reference's ``aampi(egress=False)``.  After any number of appends
+    ``P_``/``I_`` equal the batch ``matrix_profile_absolute`` of the full
+    series.  Non-finite appends are zeroed with a tracked mask (same
+    contract as GrowingStumpiState); state arrays grow geometrically.
+
+    ``p == 2`` uses the QT / rolling-square-sum recurrences (O(l) per
+    append); other p recompute the new window's distance profile directly
+    (O(l·m) per append, matching the reference's general-p path).
+    """
+
+    def __init__(self, T: np.ndarray, m: int, k: int = 1, p: float = 2.0):
+        from .stumpi import _grow
+        T = np.asarray(T, dtype=np.float64)
+        self.m = m
+        self.k = k
+        self.p = p
+        n = len(T)
+        self._n = n
+        isfin = np.isfinite(T)
+        Tz = np.where(isfin, T, 0.0)
+        P, I, IL, IR = kernels.matrix_profile_absolute(T, m, p=p, k=k)
+        # left profile values from the left indices (the reference's
+        # stumpi-style left_P reconstruction), vectorized
+        la = n - m + 1
+        PL = np.full(la, np.inf)
+        valid = np.flatnonzero(IL >= 0)
+        if len(valid):
+            wins = np.lib.stride_tricks.sliding_window_view(Tz, m)
+            diff = np.abs(wins[valid] - wins[IL[valid]])
+            PL[valid] = np.power(np.sum(diff ** p, axis=1), 1.0 / p)
+        cap = max(2 * n, n + 64)
+        lcap = cap - m + 1
+        self._T = _grow(Tz, cap)
+        self._isfin = _grow(isfin, cap)
+        self._P = _grow(P.astype(np.float64), lcap)
+        self._I = _grow(I.astype(np.int64), lcap)
+        self._lP = _grow(PL, lcap)
+        self._lI = _grow(IL, lcap)
+        if p == 2.0:
+            cs2 = np.concatenate(([0.0], np.cumsum(Tz * Tz)))
+            self._w2 = _grow(cs2[m:] - cs2[:-m], lcap)
+            self._QT = kernels.sliding_dot_product(Tz[-m:], Tz)
+
+    @property
+    def _l(self):
+        return self._n - self.m + 1
+
+    @property
+    def P_(self):
+        P = self._P[:self._l]
+        return P[:, 0] if self.k == 1 else P
+
+    @property
+    def I_(self):
+        I = self._I[:self._l]
+        return I[:, 0] if self.k == 1 else I
+
+    @property
+    def left_P_(self):
+        return self._lP[:self._l]
+
+    @property
+    def left_I_(self):
+        return self._lI[:self._l]
+
+    def update(self, t: float) -> None:
+        from .stumpi import _grow, _topk_insert_rows, _topk_last_row
+        m, k = self.m, self.k
+        n = self._n
+        l = n - m + 1
+        finite = bool(np.isfinite(t))
+        tz = float(t) if finite else 0.0
+        self._T = _grow(self._T, n + 1)
+        self._isfin = _grow(self._isfin, n + 1)
+        for name in ("_P", "_I", "_lP", "_lI"):
+            setattr(self, name, _grow(getattr(self, name), l + 1))
+        self._T[n] = tz
+        self._isfin[n] = finite
+        self._n = n + 1
+        T = self._T[:n + 1]
+        fin_w = kernels.rolling_isfinite(
+            np.where(self._isfin[:n + 1], 0.0, np.nan), m)
+        if self.p == 2.0:
+            self._w2 = _grow(self._w2, l + 1)
+            S = T[l:l + m]
+            w2_new = float(S @ S)
+            QT_new = np.empty(l + 1)
+            t_drop = T[l - 1]
+            QT_new[1:] = self._QT[:l] - T[:l] * t_drop + T[m:n + 1] * tz
+            QT_new[0] = float(T[:m] @ S)
+            self._QT = QT_new
+            self._w2[l] = w2_new
+            D2 = self._w2[:l + 1] - 2.0 * QT_new + w2_new
+            np.maximum(D2, 0.0, out=D2)
+            D = np.sqrt(D2)
+        else:
+            S = T[l:l + m]
+            windows = np.lib.stride_tricks.sliding_window_view(T, m)
+            D = np.power(np.sum(np.abs(windows - S[None, :]) ** self.p,
+                                axis=1), 1.0 / self.p)
+        D[~fin_w] = np.inf
+        if not fin_w[-1]:
+            D[:] = np.inf
+        kernels.apply_exclusion_zone(D, l, np.inf, kernels.excl_zone(m))
+        _topk_insert_rows(self._P[:l + 1], self._I[:l + 1], D, l, l)
+        P_row, I_row = _topk_last_row(D, k)
+        self._P[l] = P_row
+        self._I[l] = I_row
+        self._lP[l] = P_row[0]
+        self._lI[l] = I_row[0]
+
+
 class AampiState:
     """Incremental non-normalized (p=2) matrix profile with egress
     (aampi semantics).

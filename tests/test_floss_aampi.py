@@ -1,6 +1,7 @@
 """FLOSS / aampi streaming state tests."""
 
 import numpy as np
+import pytest
 import numpy.testing as npt
 
 import naive_oracle as naive
@@ -127,3 +128,29 @@ def test_aampi_structured_streaming(spark, tmp_path):
             ora.update(t)
         row = res[res.doc_id == did].sort_values("n_seen").iloc[-1]
         npt.assert_almost_equal(ora.P, np.array(row.P), decimal=PRECISION)
+
+
+@pytest.mark.parametrize("k,p", [(1, 2.0), (3, 2.0), (1, 1.0)])
+def test_growing_aampi_equals_batch(k, p):
+    """aampi(egress=False): after every append the growing profile must
+    equal the batch non-normalized matrix profile of the full series,
+    including across NaN appends and for top-k."""
+    from stumpy_spark import kernels
+    from stumpy_spark.streaming.floss import GrowingAampiState
+    rs = np.random.RandomState(83)
+    T0 = rs.uniform(-100, 100, 40)
+    stream = list(rs.uniform(-100, 100, 25))
+    stream[6] = np.nan
+    m = 5
+    st = GrowingAampiState(T0, m, k=k, p=p)
+    full = list(T0)
+    for step, t in enumerate(stream):
+        st.update(t)
+        full.append(t)
+        P, I, _, _ = kernels.matrix_profile_absolute(
+            np.asarray(full), m, p=p, k=k)
+        exp_P = P[:, 0] if k == 1 else P
+        exp_I = I[:, 0] if k == 1 else I
+        npt.assert_almost_equal(exp_P, st.P_, decimal=PRECISION,
+                                err_msg=f"step {step}")
+        npt.assert_array_equal(exp_I, st.I_, err_msg=f"step {step}")
