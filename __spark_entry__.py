@@ -1214,8 +1214,12 @@ def _ann_recall_query(spark: SparkSession, sf_dir: str, pairs: DataFrame,
     from pyspark.sql import Window
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries = emb.where(F.col("vec_id") < 10)
-    pairs.select("query_id", "cand_id").write.mode("overwrite") \
-        .parquet(path)
+    # write-once (the simhash-fixture pattern): the candidate set is
+    # deterministic, and re-writing would churn the committed fixture
+    # with fresh UUID part-file names on every run
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pairs.select("query_id", "cand_id").write.mode("overwrite") \
+            .parquet(path)
     cand = spark.read.parquet(path)
     scored = (cand
               .join(emb.select(F.col("vec_id").alias("query_id"),

@@ -72,11 +72,15 @@ def brute_knn(cands: DataFrame, queries: pd.DataFrame, k: int = 10,
             if round_decimals is not None:
                 scores = np.round(scores, round_decimals)
             kk = min(k, scores.shape[1])
-            # partition-local top-k per query (merged by the final agg)
-            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            # partition-local top-k per query (merged by the final agg).
+            # Ties at the batch-local boundary must break the same way
+            # as the global (score DESC, cand_id ASC) window — a bare
+            # argpartition keeps an arbitrary tied candidate and can
+            # drop the smaller cand_id before the merge sees it.
             rows = []
             for qi in range(len(q_ids)):
-                for ci in part[qi]:
+                order = np.lexsort((c_ids, -scores[qi]))[:kk]
+                for ci in order:
                     rows.append((int(q_ids[qi]), int(c_ids[ci]),
                                  float(scores[qi, ci])))
             yield pd.DataFrame(rows, columns=["query_id", "cand_id",
@@ -207,19 +211,22 @@ def _spherical_kmeans(M: np.ndarray, n_centroids: int, seed: int = 42,
     the coarse-quantizer training step of IVF."""
     M = _normalize(M)
     rs = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(M))
     C = M[rs.choice(len(M), size=n_centroids, replace=False)].copy()
     for _ in range(n_iter):
         assign = np.argmax(M @ C.T, axis=1)
-        for c in range(n_centroids):
-            members = M[assign == c]
-            if len(members):
-                C[c] = members.sum(axis=0)
-            else:
-                # deterministic empty-cluster reseed: the point farthest
-                # from its centroid
-                d = 1.0 - np.einsum("ij,ij->i", M, C[assign])
-                C[c] = M[int(np.argmax(d))]
-        C = _normalize(C)
+        new_C = np.zeros_like(C)
+        np.add.at(new_C, assign, M)
+        counts = np.bincount(assign, minlength=n_centroids)
+        C = _normalize(new_C)
+        empty = np.flatnonzero(counts == 0)
+        if len(empty):
+            # deterministic empty-cluster reseed against the fully
+            # updated, normalized centroids: points farthest from their
+            # centroid, one per empty cluster (no partially-updated mix)
+            d = 1.0 - np.einsum("ij,ij->i", M, C[assign])
+            far = np.argsort(-d, kind="stable")[:len(empty)]
+            C[empty] = M[far]
     return C
 
 
@@ -242,6 +249,7 @@ def ivf_candidate_pairs(cands: DataFrame, queries: DataFrame, dim: int,
     n_cands = cands.count()
     if n_centroids is None:
         n_centroids = int(min(4096, max(4, np.sqrt(n_cands))))
+    n_centroids = int(min(n_centroids, n_cands))   # tiny candidate sets
     train = (cands.orderBy(id_col).limit(train_sample)
              .select(vec_col).toPandas())
     C = _spherical_kmeans(

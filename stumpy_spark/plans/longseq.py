@@ -361,21 +361,22 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
                 [np.concatenate(rv, axis=0)],
                 [np.concatenate(rj, axis=0)], r0, nr)]
             if emit_cols:
-                # regroup col candidates: one block per row-strip, each
-                # covering col range sc0:sc0+width
-                n_strips = (nr + BR - 1) // BR
-                per_strip_v = [np.full((nc, k), np.inf)
-                               for _ in range(n_strips)]
-                per_strip_j = [np.full((nc, k), -1, dtype=np.int64)
-                               for _ in range(n_strips)]
-                si = 0
-                strip = 0
-                for (sc0, v_c), (_, j_c) in zip(cv, cjn):
-                    per_strip_v[strip][sc0:sc0 + v_c.shape[0]] = v_c
-                    per_strip_j[strip][sc0:sc0 + j_c.shape[0]] = j_c
-                    si += 1
-                    if sc0 + v_c.shape[0] >= nc:
-                        strip += 1
+                # regroup col candidates: one (nc, k) block per row
+                # strip; the inner loop appended exactly n_col_blocks
+                # entries per strip, in strip-major order
+                n_col_blocks = (nc + BC - 1) // BC
+                per_strip_v = []
+                per_strip_j = []
+                for s0 in range(0, len(cv), n_col_blocks):
+                    sv = np.full((nc, k), np.inf)
+                    sjb = np.full((nc, k), -1, dtype=np.int64)
+                    for (sc0, v_c), (_, j_c) in zip(
+                            cv[s0:s0 + n_col_blocks],
+                            cjn[s0:s0 + n_col_blocks]):
+                        sv[sc0:sc0 + v_c.shape[0]] = v_c
+                        sjb[sc0:sc0 + j_c.shape[0]] = j_c
+                    per_strip_v.append(sv)
+                    per_strip_j.append(sjb)
                 frames.append(_merge_tile_topk(per_strip_v, per_strip_j,
                                                c0, nc))
             return frames
@@ -462,10 +463,12 @@ def mpdisted(spark: SparkSession, T_A, T_B, m: int,
     kth = row.kth
     if kth is not None and np.isfinite(kth):
         return float(kth)
-    # k-th value is inf: largest finite of the whole ABBA set
-    fin = (abba.where(F.col("P") != float("inf"))
-           .agg(F.max("P").alias("mx")).collect()[0].mx)
-    return float(fin) if fin is not None else float("inf")
+    # k-th value is inf: every finite value necessarily sits inside the
+    # k+1-row TakeOrdered prefix, so the fallback is already in hand —
+    # no second pass over the (expensive) AB-join jobs
+    if row.max_finite_prefix is not None:
+        return float(row.max_finite_prefix)
+    return float("inf")
 
 
 def stimped(spark: SparkSession, T_arr, m_values, tile: int = 8192,

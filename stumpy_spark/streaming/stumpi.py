@@ -241,8 +241,10 @@ class StumpiState:
     @property
     def I(self):
         """Window-relative index view (dropped neighbors go negative),
-        matching the incremental naive oracle's bookkeeping."""
-        rel = self._I - self.n_appended
+        matching the incremental naive oracle's bookkeeping.  The -1
+        'no neighbor' sentinel stays -1 (it is not a position, so it
+        does not drift with the shift count)."""
+        rel = np.where(self._I >= 0, self._I - self.n_appended, -1)
         return rel[:, 0] if self.k == 1 else rel
 
     @property

@@ -240,3 +240,30 @@ def test_ivf_knn_recall_and_determinism(emb):
     # self is always found (probe contains own centroid)
     for qid in a1.query_id.unique():
         assert qid in set(a1[a1.query_id == qid].cand_id)
+
+
+def test_ivf_tiny_candidate_set(spark):
+    # n_centroids floor must not exceed the population (was a crash)
+    pdf = pd.DataFrame({"vec_id": [0, 1],
+                        "embedding": [list(np.ones(8)),
+                                      list(np.arange(8.0))]})
+    df = spark.createDataFrame(pdf)
+    got = simsearch.ivf_knn(df, df, dim=8, k=1, n_probe=1).toPandas()
+    assert set(got.query_id) == {0, 1}
+
+
+def test_brute_knn_boundary_ties_deterministic(spark):
+    """Rounded tied scores at the per-batch top-k boundary must keep the
+    smaller cand_id, matching the global window order (so partial and
+    global top-k agree on the truth set)."""
+    rs = np.random.RandomState(3)
+    base = rs.normal(size=8)
+    rows = [(0, list(base))]
+    # many exact duplicates -> all tie at score 1.0
+    for i in range(1, 40):
+        rows.append((i, list(base)))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf).repartition(8)   # ties split batches
+    got = simsearch.brute_knn(df, pdf.head(1), k=5,
+                              round_decimals=6).toPandas()
+    assert sorted(got.cand_id) == [0, 1, 2, 3, 4]
