@@ -1172,6 +1172,134 @@ JOIN mj ON agg.doc_id = mj.doc_id
 """
 
 
+def _q_aampi_growing_m3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental growing-mode non-normalized profile (the reference's
+    ``aampi(egress=False)``, aampi.py:11-388) driven point-by-point; for
+    integer tokens the QT / rolling-square-sum recurrences are exact, so
+    after the final append the profile equals batch ``aamp`` bit-for-bit
+    and shares aamp_m3_short's DuckDB oracle."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark.streaming.floss import GrowingAampiState
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("min_p", T.DoubleType()),
+        T.StructField("max_p", T.DoubleType()),
+    ])
+    df = _tokseq(spark, sf_dir).where(F.col("n_tok") <= 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                st = GrowingAampiState(a[:8], 3)
+                for t in a[8:]:
+                    st.update(float(t))
+                rows.append((did, len(st.P_), float(st.P_.min()),
+                             float(st.P_.max())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "n_windows", "min_p", "max_p"])
+
+    return df.select("doc_id", "tokens").mapInPandas(run, schema=schema)
+
+
+def _q_stumped_m16_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed single-long-series profile (the ``stumped`` analog,
+    reference stumped.py:395-658) through the tiled scale path, checked
+    per-window against SQL: the series is the deterministic concatenation
+    of the first 12 docs (doc_id order, 128 ≤ n_tok ≤ 512, n ≈ 3.7k);
+    m = 16 keeps the power-of-two bit-exact scheme and tile=512 forces a
+    real fan-out (~28 tiles + Catalyst min/min_by merge).  The reference's
+    own test bar is exactly this: distributed output equals single-node
+    (tests/test_stumped.py)."""
+    import numpy as np
+    from stumpy_spark.plans.longseq import distributed_matrix_profile
+    rows = (_tokseq(spark, sf_dir)
+            .where((F.col("n_tok") >= 128) & (F.col("n_tok") <= 512))
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect())
+    T_arr = np.concatenate([np.asarray(r.tokens, dtype=np.float64)
+                            for r in rows])
+    prof = distributed_matrix_profile(spark, T_arr, 16, tile=512)
+    # positional rename: the profile schema has both `i` and `I`, which
+    # Spark's case-insensitive resolution refuses to disambiguate
+    prof = prof.toDF("i", "p", "j", "pl", "jl", "pr", "jr")
+    return prof.select(F.col("i").cast("long").alias("i"), "p",
+                       F.col("j").cast("long").alias("j"))
+
+
+def _stumped_long_sql(glob: str, m: int = 16) -> str:
+    leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, m))
+    s = " + ".join(f"t{i}" for i in range(m))
+    s2 = " + ".join(f"t{i}*t{i}" for i in range(m))
+    cols = ", ".join(f"t{i}" for i in range(m))
+    ez = -(-m // 4)
+    return f"""
+WITH sel AS (
+    SELECT doc_id, tokens FROM read_parquet('{glob}')
+    WHERE n_tok BETWEEN 128 AND 512 ORDER BY doc_id LIMIT 12
+),
+offs AS (
+    SELECT tokens,
+           SUM(len(tokens)) OVER (ORDER BY doc_id) - len(tokens) AS off
+    FROM sel
+),
+tok AS (
+    SELECT o.off + g.i - 1 AS pos, CAST(o.tokens[g.i] AS BIGINT) AS t
+    FROM offs o, LATERAL (SELECT unnest(generate_series(
+         1, len(o.tokens))) AS i) g
+),
+w AS (
+    SELECT pos, t AS t0, {leads}
+    FROM tok WINDOW dw AS (ORDER BY pos)
+),
+stats AS (
+    SELECT pos, {cols},
+           CAST({s} AS DOUBLE)/{m} AS mu,
+           sqrt(greatest(CAST({s2} AS DOUBLE)/{m}
+                - (CAST({s} AS DOUBLE)/{m})*(CAST({s} AS DOUBLE)/{m}),
+                0.0)) AS sig
+    FROM w WHERE t{m - 1} IS NOT NULL
+),
+dist AS (
+    SELECT a.pos AS i, b.pos AS j, {_d2_expr_m('a', 'b', m)} AS d2
+    FROM stats a JOIN stats b ON abs(a.pos - b.pos) > {ez}
+),
+dd AS (SELECT i, j, sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+       FROM dist),
+prof AS (SELECT i, MIN(d) AS p FROM dd GROUP BY i),
+nn AS (SELECT dd.i, MIN(dd.j) AS j FROM dd
+       JOIN prof ON dd.i = prof.i AND dd.d = prof.p GROUP BY dd.i)
+SELECT prof.i::BIGINT AS i, prof.p, nn.j::BIGINT AS j
+FROM prof JOIN nn ON prof.i = nn.i
+"""
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (k=3) Jaccard near-dup pairs through the inverted
+    shingle index (recall exact by construction, unlike the MinHash
+    probabilistic path) — brute all-pairs shingle Jaccard is its oracle."""
+    from stumpy_spark.functions.dedup import ngram_dedup_pairs
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .withColumn("doc_id", F.col("doc_id").cast("string")))
+    return ngram_dedup_pairs(docs, k=3, threshold=0.5)
+
+
+def _q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact brute baseline (single scan
+    against the broadcast normalized matrix; the LSH-bucketed variant is
+    the 100-TB path) — brute all-pairs cosine in SQL is its oracle."""
+    from stumpy_spark.functions.simsearch import brute_near_dup
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return brute_near_dup(emb, threshold=0.45, round_decimals=6)
+
+
 # -- rows-only queries (no SQL-expressible oracle; pytest covers them) ------
 
 
@@ -1337,6 +1465,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aampdist_pairs_m3": _q_aampdist_pairs_m3,
     "subspace_m8": _q_subspace_m8,
     "stump_summary_m16": _q_stump_summary_m16,
+    "aampi_growing_m3": _q_aampi_growing_m3,
+    "stumped_m16_long": _q_stumped_m16_long,
+    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+    "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
     "ivf_knn_recall_k5": _q_ivf_knn_recall,
 }
@@ -2133,6 +2265,43 @@ WHERE 1 = 0
     out["mstump_m8"] = _mstump_sql(glob)
     out["mstump_discords_m8"] = _mstump_sql(glob, discords=True)
     out["stump_summary_m16"] = _stump_summary_sql(glob)
+    # growing-mode aampi converges to batch aamp exactly (same contract
+    # as stumpi_growing -> stump): shares the aamp oracle verbatim
+    out["aampi_growing_m3"] = out["aamp_m3_short"]
+    out["stumped_m16_long"] = _stumped_long_sql(glob)
+    out["ngram_jaccard_pairs"] = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(text, '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(tk[g.i+1:g.i+3], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(
+       0, greatest(len(tk)-3, 0))) AS i) g
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+    out["emb_neardup_pairs"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+"""
     out["mmotifs_m8"] = _mmotifs_sql(glob)
     lsh_glob = os.path.join(_lsh_pairs_fixture(sf), "*.parquet")
     ivf_glob = os.path.join(_ivf_pairs_fixture(sf), "*.parquet")

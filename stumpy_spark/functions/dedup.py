@@ -136,6 +136,59 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                     .alias("jaccard")))
 
 
+def ngram_dedup_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    Unlike :func:`minhash_dedup_pairs` (probabilistic candidate
+    generation), candidates here are every pair sharing at least one
+    word k-gram — the join key is the shingle hash itself, so recall is
+    exact by construction and the whole pipeline is two shuffles
+    (shingle groupBy + pair groupBy), all JVM-side.
+
+    Scale knob: ``max_df`` drops shingles occurring in more than that
+    many documents from *candidate generation* (the standard
+    stop-shingle cap) — without it one boilerplate k-gram shared by 1M
+    docs turns the self-join into a 10^12-row hot key.  Reported
+    Jaccard values are always exact (the verify step recomputes the
+    intersection over the full shingle sets); only pairs whose *every*
+    common shingle is above the cap can be missed — boilerplate-only
+    overlap, by definition below any useful threshold when the cap is
+    sane.
+    """
+    sh = shingles(df, text_col=text_col, k=k, id_col=id_col).distinct()
+    join_sh = sh
+    if max_df is not None:
+        rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+                .where(F.col("df") <= max_df).select("sh"))
+        join_sh = sh.join(rare, "sh", "left_semi")
+        cand = (join_sh.withColumnRenamed(id_col, "id_a")
+                .join(join_sh.withColumnRenamed(id_col, "id_b"), "sh")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        verified = ngram_jaccard(df, cand, text_col=text_col, k=k,
+                                 id_col=id_col)
+        return verified.where(F.col("jaccard") >= threshold)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (a.join(b, "sh")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sza = sizes.select(F.col(id_col).alias("id_a"),
+                       F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"),
+                       F.col("sz").alias("sz_b"))
+    return (inter.join(F.broadcast(sza), "id_a")
+            .join(F.broadcast(szb), "id_b")
+            .select("id_a", "id_b",
+                    (F.col("inter").cast("double") /
+                     (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
 def minhash_dedup_pairs(df: DataFrame, num_hashes: int = 64,
                         bands: int = 16, threshold: float = 0.8,
                         text_col: str = "text", k: int = 5,

@@ -204,6 +204,58 @@ def embedding_near_dup(df: DataFrame, dim: int, threshold: float = 0.95,
             .select("id_a", "id_b", "score"))
 
 
+def brute_near_dup(df: DataFrame, threshold: float = 0.45,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_decimals: int | None = None) -> DataFrame:
+    """Exact near-duplicate pairs (cosine ≥ threshold) — the brute
+    baseline for :func:`embedding_near_dup`.
+
+    One normalized copy of the table is closure-captured (broadcast with
+    the UDF, like :func:`brute_knn`'s query side); each Arrow batch then
+    GEMMs its rows against the full matrix and keeps ``id_a < id_b``
+    pairs above threshold — a single scan, no Catalyst cross join and no
+    shuffle of unfiltered pair candidates.  Hard-capped at 100k vectors
+    on the broadcast side; beyond that use the LSH-bucketed
+    :func:`embedding_near_dup`.  ``round_decimals`` rounds scores before
+    thresholding for cross-engine reproducibility.
+    """
+    all_pdf = df.select(id_col, vec_col).toPandas()
+    if len(all_pdf) > 100_000:
+        raise ValueError(
+            f"brute_near_dup broadcasts the table; {len(all_pdf)} rows "
+            "exceeds the 100k bound — use embedding_near_dup")
+    b_ids = all_pdf[id_col].to_numpy()
+    B = _normalize(np.stack(all_pdf[vec_col].to_numpy()).astype(np.float64))
+
+    schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = _normalize(np.stack(pdf[vec_col].to_numpy())
+                           .astype(np.float64))
+            a_ids = pdf[id_col].to_numpy()
+            scores = A @ B.T                       # (batch, n)
+            if round_decimals is not None:
+                scores = np.round(scores, round_decimals)
+            # each unordered pair is emitted exactly once: by the batch
+            # row with the smaller id
+            keep = (scores >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame({
+                "id_a": a_ids[ai].astype(np.int64),
+                "id_b": b_ids[bi].astype(np.int64),
+                "score": scores[ai, bi],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
 def _spherical_kmeans(M: np.ndarray, n_centroids: int, seed: int = 42,
                       n_iter: int = 10) -> np.ndarray:
     """Deterministic seeded spherical k-means (Lloyd on normalized

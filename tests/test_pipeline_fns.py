@@ -267,3 +267,64 @@ def test_brute_knn_boundary_ties_deterministic(spark):
     got = simsearch.brute_knn(df, pdf.head(1), k=5,
                               round_decimals=6).toPandas()
     assert sorted(got.cand_id) == [0, 1, 2, 3, 4]
+
+
+def test_ngram_dedup_pairs_exact(docs, docs_pdf):
+    """Inverted-index pairs equal brute-force all-pairs shingle Jaccard."""
+    got = dedup.ngram_dedup_pairs(docs, k=3, threshold=0.5).toPandas()
+    texts = docs_pdf.set_index(docs_pdf.doc_id.astype(str)).text
+    ids = sorted(texts.index)
+    sh = {i: _py_shingles(texts[i], k=3) for i in ids}
+    exp = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = inter / len(sh[a] | sh[b])
+                if j >= 0.5:
+                    exp[(a, b)] = j
+    got_map = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert got_map.keys() == exp.keys()
+    for key, j in exp.items():
+        assert abs(got_map[key] - j) < 1e-12
+
+
+def test_ngram_dedup_pairs_max_df_recall(docs, docs_pdf):
+    """The stop-shingle cap must keep every ≥-threshold pair on this
+    fixture (near-dup overlap is dominated by rare shingles) and report
+    the same exact Jaccard values as the uncapped run."""
+    full = dedup.ngram_dedup_pairs(docs, k=3, threshold=0.5).toPandas()
+    capped = dedup.ngram_dedup_pairs(docs, k=3, threshold=0.5,
+                                     max_df=10).toPandas()
+    key = ["id_a", "id_b"]
+    f = full.sort_values(key).reset_index(drop=True)
+    c = capped.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, c, check_like=True)
+
+
+def test_brute_near_dup_matches_numpy(emb):
+    got = simsearch.brute_near_dup(emb, threshold=0.4,
+                                   round_decimals=6).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(M @ M.T, 6)
+    exp = {}
+    for x in range(len(ids)):
+        for y in range(len(ids)):
+            if ids[x] < ids[y] and S[x, y] >= 0.4:
+                exp[(ids[x], ids[y])] = S[x, y]
+    got_map = {(r.id_a, r.id_b): r.score for r in got.itertuples()}
+    assert got_map.keys() == exp.keys()
+    for k2, v in exp.items():
+        assert got_map[k2] == v
+
+
+def test_brute_near_dup_cap(spark):
+    big = spark.range(100_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="100k"):
+        simsearch.brute_near_dup(big)
