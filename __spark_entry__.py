@@ -1281,6 +1281,90 @@ FROM prof JOIN nn ON prof.i = nn.i
 """
 
 
+def _q_mstumped_m16_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multi-dim profile (the ``mstumped`` analog, reference
+    mstumped.py:131-181) on one over-limit 2-dim series, checked
+    per-window: dim 0 is the stumped_m16_long concatenation, dim 1 the
+    same docs with tokens reversed per doc (the mstump_m8 oracle's
+    second-dimension trick); m = 16 bit-exact scheme, tile=512 fan-out."""
+    import numpy as np
+    from stumpy_spark.plans.longseq import mstumped
+    rows = (_tokseq(spark, sf_dir)
+            .where((F.col("n_tok") >= 128) & (F.col("n_tok") <= 512))
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect())
+    toks = [np.asarray(r.tokens, dtype=np.float64) for r in rows]
+    Ts = np.stack([np.concatenate(toks),
+                   np.concatenate([t[::-1] for t in toks])])
+    prof = mstumped(spark, Ts, 16, tile=512)
+    return prof.select(F.col("kdim").cast("long").alias("kdim"),
+                       F.col("i").cast("long").alias("i"), "p",
+                       F.col("j").cast("long").alias("j"))
+
+
+def _mstumped_long_sql(glob: str, m: int = 16) -> str:
+    leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, m))
+    s = " + ".join(f"t{i}" for i in range(m))
+    s2 = " + ".join(f"t{i}*t{i}" for i in range(m))
+    cols = ", ".join(f"t{i}" for i in range(m))
+    ez = -(-m // 4)
+    dims = []
+    for pre, val in (("", "o.tokens[g.i]"),
+                     ("r", "o.tokens[len(o.tokens) - g.i + 1]")):
+        dims.append(f"""
+{pre}tok AS (
+    SELECT o.off + g.i - 1 AS pos, CAST({val} AS BIGINT) AS t
+    FROM offs o, LATERAL (SELECT unnest(generate_series(
+         1, len(o.tokens))) AS i) g
+),
+{pre}w AS (
+    SELECT pos, t AS t0, {leads}
+    FROM {pre}tok WINDOW dw AS (ORDER BY pos)
+),
+{pre}stats AS (
+    SELECT pos, {cols},
+           CAST({s} AS DOUBLE)/{m} AS mu,
+           sqrt(greatest(CAST({s2} AS DOUBLE)/{m}
+                - (CAST({s} AS DOUBLE)/{m})*(CAST({s} AS DOUBLE)/{m}),
+                0.0)) AS sig
+    FROM {pre}w WHERE t{m - 1} IS NOT NULL
+),
+{pre}dd AS (
+    SELECT a.pos AS i, b.pos AS j,
+           sqrt(CASE WHEN ({_d2_expr_m('a', 'b', m)}) < 1e-14 THEN 0.0
+                ELSE ({_d2_expr_m('a', 'b', m)}) END) AS d
+    FROM {pre}stats a JOIN {pre}stats b ON abs(a.pos - b.pos) > {ez}
+)""")
+    return f"""
+WITH sel AS (
+    SELECT doc_id, tokens FROM read_parquet('{glob}')
+    WHERE n_tok BETWEEN 128 AND 512 ORDER BY doc_id LIMIT 12
+),
+offs AS (
+    SELECT tokens,
+           SUM(len(tokens)) OVER (ORDER BY doc_id) - len(tokens) AS off
+    FROM sel
+),{dims[0]},{dims[1]},
+kd AS (
+    SELECT dd.i, dd.j,
+           least(dd.d, rdd.d) AS p0,
+           (least(dd.d, rdd.d) + greatest(dd.d, rdd.d)) / 2 AS p1
+    FROM dd JOIN rdd ON dd.i = rdd.i AND dd.j = rdd.j
+),
+prof AS (SELECT i, MIN(p0) AS p0, MIN(p1) AS p1 FROM kd GROUP BY i),
+nn0 AS (SELECT kd.i, MIN(kd.j) AS j FROM kd
+        JOIN prof ON kd.i = prof.i AND kd.p0 = prof.p0 GROUP BY kd.i),
+nn1 AS (SELECT kd.i, MIN(kd.j) AS j FROM kd
+        JOIN prof ON kd.i = prof.i AND kd.p1 = prof.p1 GROUP BY kd.i)
+SELECT 0::BIGINT AS kdim, prof.i::BIGINT AS i, prof.p0 AS p,
+       nn0.j::BIGINT AS j
+FROM prof JOIN nn0 ON prof.i = nn0.i
+UNION ALL
+SELECT 1::BIGINT, prof.i::BIGINT, prof.p1, nn1.j::BIGINT
+FROM prof JOIN nn1 ON prof.i = nn1.i
+"""
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (k=3) Jaccard near-dup pairs through the inverted
     shingle index (recall exact by construction, unlike the MinHash
@@ -1467,6 +1551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stump_summary_m16": _q_stump_summary_m16,
     "aampi_growing_m3": _q_aampi_growing_m3,
     "stumped_m16_long": _q_stumped_m16_long,
+    "mstumped_m16_long": _q_mstumped_m16_long,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
@@ -2269,6 +2354,7 @@ WHERE 1 = 0
     # as stumpi_growing -> stump): shares the aamp oracle verbatim
     out["aampi_growing_m3"] = out["aamp_m3_short"]
     out["stumped_m16_long"] = _stumped_long_sql(glob)
+    out["mstumped_m16_long"] = _mstumped_long_sql(glob)
     out["ngram_jaccard_pairs"] = """
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,

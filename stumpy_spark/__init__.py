@@ -24,7 +24,10 @@ stumpi / aampi      streaming.StumpiState (egress=True; top-k via k=,
 scrump/prescrump    anytime.Scrump / anytime.prescrump;
 (scraamp twins)     operators.discovery.scrump (DataFrame)
 mstump / mstumped   anytime.multi_matrix_profile;
-                    operators.discovery.mstump (DataFrame)
+                    operators.discovery.mstump (DataFrame);
+                    plans.longseq.mstumped (one over-limit multi-dim
+                    series tiled across executors; normalize=False is
+                    the maamped twin)
 subspace / mdl      anytime.subspace / anytime.mdl
 motifs / match      mining.motifs / mining.match;
                     operators.discovery.motifs (DataFrame)

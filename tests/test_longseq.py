@@ -168,3 +168,59 @@ def test_stimped_matches_single_node(spark):
         sub = got[got.m == m].sort_values("i")
         assert len(sub) == len(P)
         np.testing.assert_allclose(sub.P.to_numpy(), P, atol=1e-9)
+
+
+def _mstumped_pdf(spark, Ts, m, **kw):
+    from stumpy_spark.plans.longseq import mstumped
+    got = (mstumped(spark, Ts, m, **kw).toPandas()
+           .sort_values(["kdim", "i"]).reset_index(drop=True))
+    d = Ts.shape[0]
+    l = Ts.shape[1] - m + 1
+    P = got.p.to_numpy().reshape(d, l)
+    I = got.j.to_numpy().reshape(d, l)
+    return P, I
+
+
+def test_mstumped_equals_single_node(spark):
+    """Distributed multi-dim profile == anytime.multi_matrix_profile
+    (the reference's tests/test_mstumped.py parity bar)."""
+    from stumpy_spark.anytime import multi_matrix_profile
+    rs = np.random.RandomState(21)
+    Ts = rs.uniform(-1000, 1000, (3, 900))
+    m = 12
+    P, I = multi_matrix_profile(Ts, m)
+    gP, gI = _mstumped_pdf(spark, Ts, m, tile=256)
+    npt.assert_almost_equal(P, gP, decimal=10)
+    npt.assert_array_equal(I, gI)
+
+
+def test_mstumped_include_discords(spark):
+    from stumpy_spark.anytime import multi_matrix_profile
+    rs = np.random.RandomState(33)
+    Ts = rs.uniform(-1000, 1000, (4, 700))
+    m = 10
+    for kw in ({"discords": True}, {"include": [1, 3]},
+               {"include": [2], "discords": True}):
+        P, I = multi_matrix_profile(Ts, m, **kw)
+        gP, gI = _mstumped_pdf(spark, Ts, m, tile=200, **kw)
+        npt.assert_almost_equal(P, gP, decimal=10)
+        npt.assert_array_equal(I, gI)
+
+
+def test_mstumped_nonnormalized_and_nans(spark):
+    """maamped twin + non-finite handling parity."""
+    from stumpy_spark.anytime import multi_matrix_profile
+    rs = np.random.RandomState(5)
+    Ts = rs.uniform(-1000, 1000, (3, 600))
+    Ts[0, 77] = np.nan
+    Ts[2, 401] = np.inf
+    m = 8
+    P, I = multi_matrix_profile(Ts, m, normalize=False)
+    gP, gI = _mstumped_pdf(spark, Ts, m, tile=150, normalize=False)
+    npt.assert_almost_equal(P, gP, decimal=10)
+    npt.assert_array_equal(I, gI)
+    # z-norm path with the same non-finite points
+    P2, I2 = multi_matrix_profile(Ts, m)
+    gP2, gI2 = _mstumped_pdf(spark, Ts, m, tile=150)
+    npt.assert_almost_equal(P2, gP2, decimal=10)
+    npt.assert_array_equal(I2, gI2)
