@@ -109,3 +109,25 @@ def test_consecutive_pairs_partitioned_window(spark):
     got = pairs.orderBy("id_a").toPandas()
     expp = exp.orderBy("id_a").toPandas()
     assert got.equals(expp)
+
+
+def test_ngram_dedup_no_cartesian(spark):
+    """The inverted-index pair join must be an equi-join on the shingle
+    hash — never a cartesian/broadcast-nested-loop product of docs."""
+    from stumpy_spark.functions.dedup import ngram_dedup_pairs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    for kw in ({}, {"max_df": 10}):
+        plan = plan_str(ngram_dedup_pairs(docs, k=3, **kw))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_brute_near_dup_single_scan(spark):
+    """brute_near_dup is one mapInPandas over the table: no Exchange, no
+    join node (the matrix rides in the UDF closure)."""
+    from stumpy_spark.functions.simsearch import brute_near_dup
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_str(brute_near_dup(emb, threshold=0.4))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
