@@ -219,11 +219,13 @@ def brute_near_dup(df: DataFrame, threshold: float = 0.45,
     :func:`embedding_near_dup`.  ``round_decimals`` rounds scores before
     thresholding for cross-engine reproducibility.
     """
-    all_pdf = df.select(id_col, vec_col).toPandas()
+    # bounded collect: limit(cap+1) caps driver memory BEFORE the
+    # materialization, so the guard protects against the failure itself
+    all_pdf = df.select(id_col, vec_col).limit(100_001).toPandas()
     if len(all_pdf) > 100_000:
         raise ValueError(
-            f"brute_near_dup broadcasts the table; {len(all_pdf)} rows "
-            "exceeds the 100k bound — use embedding_near_dup")
+            "brute_near_dup broadcasts the table; >100k rows "
+            "exceeds the bound — use embedding_near_dup")
     b_ids = all_pdf[id_col].to_numpy()
     B = _normalize(np.stack(all_pdf[vec_col].to_numpy()).astype(np.float64))
 

@@ -60,6 +60,35 @@ _PARTIAL_SCHEMA_TOPK = T.StructType([
 ])
 
 
+def _binned_tiles_df(spark: SparkSession, tiles, work) -> DataFrame:
+    """LPT-bin (tr, tc) tiles by the given work function onto an identity
+    partitioner, as a DataFrame (tr long, tc long).
+
+    Greedy longest-processing-time binning over actual per-tile work is
+    the Spark analog of the reference's per-diagonal work weighting
+    (core.py:2424-2466): every stage partition carries near-equal work —
+    no straggler tail at 100x.  The identity partitioner maps bin b to
+    Spark partition b exactly; a hash repartition would collide balanced
+    bins into uneven partitions.
+    """
+    import heapq
+    sc = spark.sparkContext
+    n_bins = min(len(tiles), sc.defaultParallelism * 4)
+    order = sorted(range(len(tiles)), key=lambda t: -work(*tiles[t]))
+    heap = [(0, bi) for bi in range(n_bins)]
+    heapq.heapify(heap)
+    bins = [0] * len(tiles)
+    for t in order:
+        load, bi = heapq.heappop(heap)
+        bins[t] = bi
+        heapq.heappush(heap, (load + work(*tiles[t]), bi))
+    pairs = sc.parallelize(
+        [(bins[t], tiles[t]) for t in range(len(tiles))], n_bins)
+    binned = pairs.partitionBy(n_bins, lambda b: b).map(
+        lambda kv: (int(kv[1][0]), int(kv[1][1])))
+    return spark.createDataFrame(binned, schema="tr long, tc long")
+
+
 def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
                                tile: int = 8192, T_B=None, k: int = 1,
                                normalize: bool = True,
@@ -122,24 +151,7 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
             cells = max(cells // 2, 1)          # upper-triangle + excl band
         return cells
 
-    n_bins = min(len(tiles), spark.sparkContext.defaultParallelism * 4)
-    order = sorted(range(len(tiles)),
-                   key=lambda t: -_work(*tiles[t]))
-    import heapq
-    heap = [(0, bi) for bi in range(n_bins)]
-    heapq.heapify(heap)
-    bins = [0] * len(tiles)
-    for t in order:
-        load, bi = heapq.heappop(heap)
-        bins[t] = bi
-        heapq.heappush(heap, (load + _work(*tiles[t]), bi))
-    # identity partitioner: bin b -> Spark partition b, exactly (a hash
-    # repartition would collide balanced bins into uneven partitions)
-    pairs = sc.parallelize(
-        [(bins[t], tiles[t]) for t in range(len(tiles))], n_bins)
-    binned = pairs.partitionBy(n_bins, lambda b: b).map(
-        lambda kv: (int(kv[1][0]), int(kv[1][1])))
-    tiles_df = spark.createDataFrame(binned, schema="tr long, tc long")
+    tiles_df = _binned_tiles_df(spark, tiles, _work)
 
     # Cache sub-block geometry: the distance sub-block (BR x BC doubles =
     # 2 MB) stays L2/L3-resident, so the rho->distance / masking / argmin
@@ -524,7 +536,6 @@ def mstumped(spark: SparkSession, Ts, m: int, tile: int = 2048,
     upper triangle only and each off-diagonal tile also emits column
     candidates — the same halved-work plan as the single-dim path.
     """
-    import heapq
     from ..anytime import _apply_include_rows
 
     Ts = np.asarray(Ts, dtype=np.float64)
@@ -557,20 +568,7 @@ def mstumped(spark: SparkSession, Ts, m: int, tile: int = 2048,
             cells = max(cells // 2, 1)
         return cells * d
 
-    n_bins = min(len(tiles), sc.defaultParallelism * 4)
-    order = sorted(range(len(tiles)), key=lambda t: -_work(*tiles[t]))
-    heap = [(0, bi) for bi in range(n_bins)]
-    heapq.heapify(heap)
-    bins = [0] * len(tiles)
-    for t in order:
-        load, bi = heapq.heappop(heap)
-        bins[t] = bi
-        heapq.heappush(heap, (load + _work(*tiles[t]), bi))
-    pairs = sc.parallelize(
-        [(bins[t], tiles[t]) for t in range(len(tiles))], n_bins)
-    binned = pairs.partitionBy(n_bins, lambda bb: bb).map(
-        lambda kv: (int(kv[1][0]), int(kv[1][1])))
-    tiles_df = spark.createDataFrame(binned, schema="tr long, tc long")
+    tiles_df = _binned_tiles_df(spark, tiles, _work)
 
     schema = T.StructType([
         T.StructField("kdim", T.LongType()),
@@ -583,7 +581,6 @@ def mstumped(spark: SparkSession, Ts, m: int, tile: int = 2048,
     BR, BC = 256, 512
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math as _math
         prep_w, inc, disc, norm = b.value
         dd_ = len(prep_w)
         windows = [np.lib.stride_tricks.sliding_window_view(pw[0], m)
@@ -652,7 +649,6 @@ def mstumped(spark: SparkSession, Ts, m: int, tile: int = 2048,
             for sr0 in range(0, nr, BR):
                 sr1 = min(sr0 + BR, nr)
                 a0, a1 = r0 + sr0, r0 + sr1
-                rr = np.arange(sr1 - sr0)
                 for sc0 in range(0, nc, BC):
                     sc1 = min(sc0 + BC, nc)
                     b0, b1 = c0 + sc0, c0 + sc1
