@@ -1,1 +1,6 @@
-from .stumpi import StumpiState, stumpi_stream  # noqa: F401
+from .stumpi import (  # noqa: F401
+    StumpiState, GrowingStumpiState, stumpi_stream,
+)
+from .floss import (  # noqa: F401
+    AampiState, GrowingAampiState, FlossState,
+)
