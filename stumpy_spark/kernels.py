@@ -737,8 +737,11 @@ def mass_absolute(Q: np.ndarray, T: np.ndarray, p: float = 2.0,
     m = Q.shape[0]
     T_isfinite = rolling_isfinite(T, m)
     Q_isfinite = bool(np.all(np.isfinite(Q)))
-    Qc = np.nan_to_num(Q)
-    Tc = np.nan_to_num(T)
+    # zero (not clamp-to-1.8e308) non-finite values: the distances at
+    # those positions are masked to inf below anyway, and clamped infs
+    # overflow |diff|**p (same contract as the aamp kernels)
+    Qc = np.nan_to_num(Q, nan=0.0, posinf=0.0, neginf=0.0)
+    Tc = np.nan_to_num(T, nan=0.0, posinf=0.0, neginf=0.0)
     windows = np.lib.stride_tricks.sliding_window_view(Tc, m)
     if p == 2.0:
         # direct (w - Q)^2 sum: O(n m) but cancellation-free, exact at the
@@ -752,6 +755,59 @@ def mass_absolute(Q: np.ndarray, T: np.ndarray, p: float = 2.0,
         D[:] = np.inf
     if query_idx is not None:
         apply_exclusion_zone(D, query_idx, np.inf, excl_zone(m))
+    return D
+
+
+def mass_distance_matrix(Q_mat: np.ndarray, T: np.ndarray,
+                         normalize: bool = True, p: float = 2.0,
+                         T_subseq_isconstant=None) -> np.ndarray:
+    """All-queries × all-subsequences distance matrix — the reference's
+    ``core._mass_distance_matrix`` (core.py:1836-2005, a loop of MASS
+    rows) and its p-norm twin, as one blocked GEMM / offset accumulation.
+
+    ``Q_mat``: (nq, m) query rows.  Returns (nq, l), l = len(T) − m + 1,
+    with every per-row MASS special case: constant windows (both → 0,
+    one → √m), non-finite query rows / T windows → inf, snap-to-zero.
+    Row q equals ``mass(Q_mat[q], T)`` / ``mass_absolute(Q_mat[q], T)``.
+    """
+    Q_mat = np.atleast_2d(np.asarray(Q_mat, dtype=np.float64))
+    nq, m = Q_mat.shape
+    q_fin = np.isfinite(Q_mat).all(axis=1)
+    Qc = np.nan_to_num(Q_mat, nan=0.0, posinf=0.0, neginf=0.0)
+    if normalize:
+        Tc, M_T, Sigma_T, T_fin, T_con = preprocess(
+            T, m, T_subseq_isconstant)
+        mu_q = Qc.mean(axis=1)
+        sig_q = Qc.std(axis=1)
+        q_con = q_fin & (np.ptp(Qc, axis=1) == 0)
+        wT = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(Tc, m))
+        rho = _pearson_block(Qc, wT, mu_q, sig_q, M_T, Sigma_T, m)
+        D2 = np.abs(2.0 * m * (1.0 - rho))
+        ca = q_con[:, None]
+        cb = T_con[None, :]
+        D2 = np.where(ca & cb, 0.0, D2)
+        D2 = np.where(ca ^ cb, float(m), D2)
+        D2[~q_fin, :] = np.inf
+        D2[:, ~T_fin] = np.inf
+        return np.sqrt(snap_to_zero(D2))
+    T = np.asarray(T, dtype=np.float64)
+    T_fin = rolling_isfinite(T, m)
+    Tc = np.nan_to_num(T)
+    l = len(T) - m + 1
+    # per-offset accumulation: memory-safe (no (nq, l, m) cube) and the
+    # same element order as mass_absolute's per-row sum — no GEMM
+    # expansion, so no catastrophic cancellation at near-duplicates
+    acc = np.zeros((nq, l))
+    for o in range(m):
+        d = np.abs(Qc[:, o][:, None] - Tc[None, o:o + l])
+        if p == 2.0:
+            acc += d * d
+        else:
+            acc += d ** p
+    D = np.sqrt(acc) if p == 2.0 else acc ** (1.0 / p)
+    D[~q_fin, :] = np.inf
+    D[:, ~T_fin] = np.inf
     return D
 
 

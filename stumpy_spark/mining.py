@@ -213,15 +213,13 @@ def snippets(T, m: int, k: int, percentage: float = 1.0,
             profiles.append(np.full(max(n - sub_m + 1, 1), np.inf))
             continue
         blk = block[valid]
-        # mpdist-vect: sliding min over the AB profile of block windows
-        D = np.full(n - sub_m + 1, np.inf)
-        l_b = len(blk) - sub_m + 1
-        for q in range(l_b):
-            if normalize:
-                d = kernels.mass(blk[q:q + sub_m], T)
-            else:
-                d = kernels.mass_absolute(blk[q:q + sub_m], T, p=p)
-            np.minimum(D, d[:len(D)], out=D)
+        # mpdist-vect: sliding min over the AB profile of block windows,
+        # all rows in one mass_distance_matrix call (GEMM / offset
+        # accumulation instead of a python loop of MASS rows)
+        qw = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(blk, sub_m))
+        Dm = kernels.mass_distance_matrix(qw, T, normalize=normalize, p=p)
+        D = Dm[:, :n - sub_m + 1].min(axis=0)
         profiles.append(D)
     profiles = np.vstack(profiles)
     k = min(k, len(starts))

@@ -280,3 +280,36 @@ def test_idx_to_mp_roundtrip():
     I2[3] = -1
     got2 = kernels.idx_to_mp(I2, T, m, check_neg=False)
     assert np.isinf(got2[3])
+
+
+def test_mass_distance_matrix_rows_equal_mass():
+    """Each row of the matrix kernel equals the per-row MASS profile
+    (reference core._mass_distance_matrix contract, core.py:1836-2005),
+    including constant / non-finite special cases."""
+    import numpy as np
+    import numpy.testing as npt
+    from stumpy_spark import kernels
+    rs = np.random.RandomState(11)
+    T = rs.uniform(-1000, 1000, 300)
+    T[40] = np.nan
+    m = 12
+    Q = np.vstack([
+        rs.uniform(-1000, 1000, m),
+        np.full(m, 3.0),                      # constant query
+        np.concatenate([[np.inf], rs.uniform(-1, 1, m - 1)]),  # non-finite
+        T[100:100 + m],                        # exact T window
+    ])
+    got = kernels.mass_distance_matrix(Q, T)
+    for qi in range(len(Q)):
+        npt.assert_almost_equal(got[qi], kernels.mass(Q[qi], T),
+                                decimal=10)
+    got_p = kernels.mass_distance_matrix(Q, T, normalize=False, p=3.0)
+    for qi in range(len(Q)):
+        npt.assert_almost_equal(got_p[qi],
+                                kernels.mass_absolute(Q[qi], T, p=3.0),
+                                decimal=8)
+    got_2 = kernels.mass_distance_matrix(Q, T, normalize=False)
+    for qi in range(len(Q)):
+        npt.assert_almost_equal(got_2[qi],
+                                kernels.mass_absolute(Q[qi], T),
+                                decimal=10)
