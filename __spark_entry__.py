@@ -1365,6 +1365,86 @@ FROM prof JOIN nn1 ON prof.i = nn1.i
 """
 
 
+def _q_nan_window_stats_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NaN / constant-window predicate contract through the driver
+    gate (reference core.py:2145-2214 preprocess, 2522-2687
+    rolling_isfinite/isconstant, 2690-2734 isconstant-isfinite conflict
+    rule): tokens are deterministically rewritten — constant stretches
+    (42 where pos % 64 < 12) then NaN holes ((pos·31 + n_tok) % 97 == 0,
+    exact int arithmetic in both engines) — and each doc's m=8 window
+    predicates and finite-window sums come from kernels.preprocess.
+    Windows punctured by a NaN must count as neither finite nor constant
+    and contribute no sum."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark import kernels
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("n_finite", T.LongType()),
+        T.StructField("n_constant", T.LongType()),
+        T.StructField("sum_wsums_finite", T.LongType()),
+    ])
+    df = _tokseq(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                pos = np.arange(len(a))
+                a = np.where(pos % 64 < 12, 42.0, a)
+                a[(pos * 31 + len(a)) % 97 == 0] = np.nan
+                _, M_T, _, fin, con = kernels.preprocess(a, 8)
+                ws = np.rint(M_T[fin] * 8).astype(np.int64)
+                rows.append((did, len(fin), int(fin.sum()),
+                             int(con.sum()), int(ws.sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "doc_id", "n_windows", "n_finite", "n_constant",
+                    "sum_wsums_finite"])
+
+    return df.select("doc_id", "tokens").mapInPandas(run, schema=schema)
+
+
+def _nan_window_stats_sql(glob: str) -> str:
+    leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, 8))
+    fin = " AND ".join(f"t{i} IS NOT NULL" for i in range(8))
+    s = " + ".join(f"t{i}" for i in range(8))
+    lo = ", ".join(f"t{i}" for i in range(8))
+    return f"""
+WITH tok AS (
+    SELECT doc_id, g.i - 1 AS pos,
+           CASE WHEN ((g.i - 1) * 31 + n_tok) % 97 = 0 THEN NULL
+                WHEN (g.i - 1) % 64 < 12 THEN 42
+                ELSE CAST(tq.tokens[g.i] AS BIGINT) END AS t
+    FROM read_parquet('{glob}') tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+),
+w AS (
+    SELECT doc_id, pos, t AS t0, {leads},
+           lead(pos, 7) OVER dw AS pos7
+    FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+ww AS (
+    SELECT doc_id, ({fin}) AS fin,
+           CASE WHEN {fin} THEN {s} END AS ws,
+           CASE WHEN ({fin})
+                AND least({lo}) = greatest({lo}) THEN TRUE
+                ELSE FALSE END AS con
+    FROM w WHERE pos7 IS NOT NULL
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+       SUM(CASE WHEN fin THEN 1 ELSE 0 END)::BIGINT AS n_finite,
+       SUM(CASE WHEN con THEN 1 ELSE 0 END)::BIGINT AS n_constant,
+       COALESCE(SUM(ws), 0)::BIGINT AS sum_wsums_finite
+FROM ww GROUP BY doc_id
+"""
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (k=3) Jaccard near-dup pairs through the inverted
     shingle index (recall exact by construction, unlike the MinHash
@@ -1552,6 +1632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aampi_growing_m3": _q_aampi_growing_m3,
     "stumped_m16_long": _q_stumped_m16_long,
     "mstumped_m16_long": _q_mstumped_m16_long,
+    "nan_window_stats_m8": _q_nan_window_stats_m8,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
@@ -2355,6 +2436,7 @@ WHERE 1 = 0
     out["aampi_growing_m3"] = out["aamp_m3_short"]
     out["stumped_m16_long"] = _stumped_long_sql(glob)
     out["mstumped_m16_long"] = _mstumped_long_sql(glob)
+    out["nan_window_stats_m8"] = _nan_window_stats_sql(glob)
     out["ngram_jaccard_pairs"] = """
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
