@@ -1455,6 +1455,22 @@ def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_dedup_pairs(docs, k=3, threshold=0.5)
 
 
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting + the scalar quality score through
+    the driver gate (both pure Catalyst, textfns.py): integer regex
+    counts are exact cross-engine, and the score is a fixed-order double
+    expression both engines evaluate identically."""
+    from stumpy_spark.functions.textfns import (bpe_ish_token_count,
+                                                quality_score)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    q = quality_score(docs).withColumn(
+        "n_bpe", bpe_ish_token_count(F.col("text")))
+    return q.groupBy("source").agg(
+        F.sum("n_bpe").cast("long").alias("sum_bpe_tokens"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"))
+
+
 def _q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact brute baseline (single scan
     against the broadcast normalized matrix; the LSH-bucketed variant is
@@ -1633,6 +1649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stumped_m16_long": _q_stumped_m16_long,
     "mstumped_m16_long": _q_mstumped_m16_long,
     "nan_window_stats_m8": _q_nan_window_stats_m8,
+    "doc_quality": _q_doc_quality,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
@@ -2437,6 +2454,32 @@ WHERE 1 = 0
     out["stumped_m16_long"] = _stumped_long_sql(glob)
     out["mstumped_m16_long"] = _mstumped_long_sql(glob)
     out["nan_window_stats_m8"] = _nan_window_stats_sql(glob)
+    out["doc_quality"] = r"""
+WITH q AS (
+  SELECT source,
+    length(text) AS n,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(regexp_extract_all(text,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        AS digits,
+    (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+        AS punct
+  FROM documents
+),
+s AS (
+  SELECT source, n_bpe,
+    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      * (1.0 - least(CAST(digits AS DOUBLE)
+                     / CAST(greatest(n, 1) AS DOUBLE) * 2, 1.0))
+      * (1.0 - least(CAST(punct AS DOUBLE)
+                     / CAST(greatest(n, 1) AS DOUBLE) * 2, 1.0)) AS score
+  FROM q
+)
+SELECT source, SUM(n_bpe)::BIGINT AS sum_bpe_tokens,
+       MIN(score) AS min_score, MAX(score) AS max_score
+FROM s GROUP BY source
+"""
     out["ngram_jaccard_pairs"] = """
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -99,6 +99,42 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(every_ms))).alias("frame_ts_ms")))
 
 
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  fake: bool = False) -> DataFrame:
+    """Resize plumbing for image rows: same MEDIA_SCHEMA out, width/height
+    rewritten to the target, blob replaced by the resized encoding.
+
+    The actual pixel work is stubbed like :func:`decode_features`:
+    ``fake=True`` substitutes a deterministic content-hash-seeded blob of
+    size ∝ out_w·out_h (same bytes → same output under any partitioning),
+    otherwise NotImplementedError surfaces per batch.  Non-image rows are
+    filtered before the scan so their blobs are never read.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for blob in pdf["blob"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "media codecs unavailable in this environment; "
+                        "pass fake=True for the deterministic stub")
+                h = hashlib.sha256(bytes(blob)).digest()
+                seed = int.from_bytes(h[:8], "little") % (2 ** 32)
+                rs = np.random.RandomState(seed)
+                blobs.append(bytearray(
+                    rs.bytes(max(out_w * out_h // 64, 16))))
+            out = pdf.copy()
+            out["width"] = pd.array([out_w] * len(pdf), dtype="Int32")
+            out["height"] = pd.array([out_h] * len(pdf), dtype="Int32")
+            out["blob"] = blobs
+            out["n_bytes"] = np.asarray([len(b) for b in blobs],
+                                        dtype=np.int64)
+            yield out
+
+    imgs = df.where(F.col("mime").startswith("image/"))
+    return imgs.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregate: never touches the binary column."""
     return (df.groupBy("mime")

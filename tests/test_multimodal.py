@@ -45,3 +45,33 @@ def test_media_stats_metadata_only(spark, media):
     stats = MM.media_stats(media).toPandas().set_index("mime")
     assert stats.loc["image/png"].n_media == 30
     assert stats.loc["video/mp4"].total_bytes > 0
+
+
+def test_resize_images_fake_deterministic(spark):
+    from stumpy_spark.functions.multimodal import (resize_images,
+                                                   synthetic_media_df)
+    df = synthetic_media_df(spark, 30)
+    out = resize_images(df, 256, 128, fake=True).toPandas()
+    n_img = df.where("mime like 'image/%'").count()
+    assert len(out) == n_img
+    assert (out.width == 256).all() and (out.height == 128).all()
+    assert (out.n_bytes == out.blob.map(len)).all()
+    # partition-invariant: same bytes -> same resized blob
+    out2 = resize_images(df.repartition(7), 256, 128,
+                         fake=True).toPandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a.media_id == b.media_id).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a.blob, b.blob))
+
+
+def test_resize_images_stub_raises(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from stumpy_spark.functions.multimodal import (resize_images,
+                                                   synthetic_media_df)
+    df = synthetic_media_df(spark, 6)
+    with _pytest.raises(Exception) as exc:
+        resize_images(df, 64, 64).toPandas()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError)
