@@ -1234,12 +1234,21 @@ def _q_stumped_m16_long(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("j").cast("long").alias("j"))
 
 
-def _stumped_long_sql(glob: str, m: int = 16) -> str:
+def _stumped_long_sql(glob: str, m: int = 16, band: int | None = None,
+                      last_rows: int | None = None) -> str:
+    """Self-join profile SQL over the concatenated 12-doc series.
+
+    ``band`` adds the co-residency predicate |i−j| ≤ band (the egress
+    buffer contract); ``last_rows`` restricts the output to the final
+    that-many window rows (the windows still resident at stream end)."""
     leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, m))
     s = " + ".join(f"t{i}" for i in range(m))
     s2 = " + ".join(f"t{i}*t{i}" for i in range(m))
     cols = ", ".join(f"t{i}" for i in range(m))
     ez = -(-m // 4)
+    band_pred = f" AND abs(a.pos - b.pos) <= {band}" if band else ""
+    row_pred = (f"WHERE i >= (SELECT MAX(pos) FROM stats) - "
+                f"{last_rows - 1}" if last_rows else "")
     return f"""
 WITH sel AS (
     SELECT doc_id, tokens FROM read_parquet('{glob}')
@@ -1269,16 +1278,65 @@ stats AS (
 ),
 dist AS (
     SELECT a.pos AS i, b.pos AS j, {_d2_expr_m('a', 'b', m)} AS d2
-    FROM stats a JOIN stats b ON abs(a.pos - b.pos) > {ez}
+    FROM stats a JOIN stats b ON abs(a.pos - b.pos) > {ez}{band_pred}
 ),
 dd AS (SELECT i, j, sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
        FROM dist),
-prof AS (SELECT i, MIN(d) AS p FROM dd GROUP BY i),
+prof AS (SELECT i, MIN(d) AS p FROM dd {row_pred} GROUP BY i),
 nn AS (SELECT dd.i, MIN(dd.j) AS j FROM dd
        JOIN prof ON dd.i = prof.i AND dd.d = prof.p GROUP BY dd.i)
 SELECT prof.i::BIGINT AS i, prof.p, nn.j::BIGINT AS j
 FROM prof JOIN nn ON prof.i = nn.i
 """
+
+
+def _q_stumpi_egress_m16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Egress-mode (sliding-buffer) stumpi through the driver gate with a
+    FULL value oracle (reference stumpi.py:266-367 ``_update_egress``):
+    every absolute pair (i, j) is compared exactly once — when the later
+    window arrives and the earlier is still resident, i.e. |i−j| ≤ l−1 —
+    so the final buffer's profile equals a banded self-join the oracle
+    expresses directly (band = buffer length − 1, rows = the last l
+    windows).  Ties go to the smaller j in both engines (first-seen
+    strictly-better updates ≙ argmin-first).  Same concatenated series as
+    stumped_m16_long; window_n = 256, m = 16 (bit-exact scheme)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark.streaming.stumpi import StumpiState
+
+    window_n, m = 256, 16
+    rows = (_tokseq(spark, sf_dir)
+            .where((F.col("n_tok") >= 128) & (F.col("n_tok") <= 512))
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect())
+    T_arr = np.concatenate([np.asarray(r.tokens, dtype=np.float64)
+                            for r in rows])
+    one = spark.createDataFrame([(bytearray(T_arr.tobytes()),)], "t binary")
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("j", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["t"]:
+                a = np.frombuffer(bytes(blob), dtype=np.float64)
+                st = StumpiState(a[:window_n], m, absolute_indices=True)
+                for t in a[window_n:]:
+                    st.update(float(t))
+                l = window_n - m + 1
+                total_l = len(a) - m + 1
+                yield pd.DataFrame({
+                    "i": np.arange(total_l - l, total_l),
+                    "p": st.P_,
+                    "j": st.I_,
+                })
+
+    return one.mapInPandas(run, schema=schema)
 
 
 def _q_mstumped_m16_long(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1650,6 +1708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mstumped_m16_long": _q_mstumped_m16_long,
     "nan_window_stats_m8": _q_nan_window_stats_m8,
     "doc_quality": _q_doc_quality,
+    "stumpi_egress_m16": _q_stumpi_egress_m16,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
@@ -2452,6 +2511,10 @@ WHERE 1 = 0
     # as stumpi_growing -> stump): shares the aamp oracle verbatim
     out["aampi_growing_m3"] = out["aamp_m3_short"]
     out["stumped_m16_long"] = _stumped_long_sql(glob)
+    # egress stumpi: pairs compared exactly once while co-resident ->
+    # banded self-join over the same series, last buffer's rows
+    out["stumpi_egress_m16"] = _stumped_long_sql(
+        glob, band=256 - 16, last_rows=256 - 16 + 1)
     out["mstumped_m16_long"] = _mstumped_long_sql(glob)
     out["nan_window_stats_m8"] = _nan_window_stats_sql(glob)
     out["doc_quality"] = r"""
