@@ -1235,18 +1235,22 @@ def _q_stumped_m16_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stumped_long_sql(glob: str, m: int = 16, band: int | None = None,
-                      last_rows: int | None = None) -> str:
+                      last_rows: int | None = None,
+                      right_only: bool = False) -> str:
     """Self-join profile SQL over the concatenated 12-doc series.
 
     ``band`` adds the co-residency predicate |i−j| ≤ band (the egress
     buffer contract); ``last_rows`` restricts the output to the final
-    that-many window rows (the windows still resident at stream end)."""
+    that-many window rows (the windows still resident at stream end);
+    ``right_only`` keeps only j > i neighbors (the FLOSS right-profile
+    direction)."""
     leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, m))
     s = " + ".join(f"t{i}" for i in range(m))
     s2 = " + ".join(f"t{i}*t{i}" for i in range(m))
     cols = ", ".join(f"t{i}" for i in range(m))
     ez = -(-m // 4)
-    band_pred = f" AND abs(a.pos - b.pos) <= {band}" if band else ""
+    offs = ("b.pos - a.pos" if right_only else "abs(a.pos - b.pos)")
+    band_pred = f" AND {offs} <= {band}" if band else ""
     row_pred = (f"WHERE i >= (SELECT MAX(pos) FROM stats) - "
                 f"{last_rows - 1}" if last_rows else "")
     return f"""
@@ -1278,7 +1282,7 @@ stats AS (
 ),
 dist AS (
     SELECT a.pos AS i, b.pos AS j, {_d2_expr_m('a', 'b', m)} AS d2
-    FROM stats a JOIN stats b ON abs(a.pos - b.pos) > {ez}{band_pred}
+    FROM stats a JOIN stats b ON {offs} > {ez}{band_pred}
 ),
 dd AS (SELECT i, j, sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
        FROM dist),
@@ -1334,6 +1338,57 @@ def _q_stumpi_egress_m16(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "i": np.arange(total_l - l, total_l),
                     "p": st.P_,
                     "j": st.I_,
+                })
+
+    return one.mapInPandas(run, schema=schema)
+
+
+def _q_floss_right_m16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FLOSS state machine (reference floss.py:600-692: egress
+    + one-directional right-profile updates) through the driver gate with
+    a full value+index oracle: a right neighbor is seen exactly once
+    while co-resident, so the final buffer's right profile equals a
+    directional banded self-join (0 < j−i ≤ l−1, j−i > excl).  Rows whose
+    right profile is inf (no in-band right neighbor) are omitted by both
+    engines.  CAC itself (arc counts / iac normalization) is the batch
+    fluss_m8 oracle's contract; this row checks the streaming state that
+    feeds it.  Same series as stumped_m16_long; window_n = 256, m = 16."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark.streaming.floss import FlossState
+
+    window_n, m = 256, 16
+    rows = (_tokseq(spark, sf_dir)
+            .where((F.col("n_tok") >= 128) & (F.col("n_tok") <= 512))
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect())
+    T_arr = np.concatenate([np.asarray(r.tokens, dtype=np.float64)
+                            for r in rows])
+    one = spark.createDataFrame([(bytearray(T_arr.tobytes()),)], "t binary")
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("j", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["t"]:
+                a = np.frombuffer(bytes(blob), dtype=np.float64)
+                st = FlossState(a[:window_n], m)
+                for t in a[window_n:]:
+                    st.update(float(t))
+                l = window_n - m + 1
+                total_l = len(a) - m + 1
+                i_abs = np.arange(total_l - l, total_l)
+                fin = np.isfinite(st.PR)
+                yield pd.DataFrame({
+                    "i": i_abs[fin],
+                    "p": st.PR[fin],
+                    "j": st.IR[fin] + (total_l - l),
                 })
 
     return one.mapInPandas(run, schema=schema)
@@ -1709,6 +1764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nan_window_stats_m8": _q_nan_window_stats_m8,
     "doc_quality": _q_doc_quality,
     "stumpi_egress_m16": _q_stumpi_egress_m16,
+    "floss_right_m16": _q_floss_right_m16,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
@@ -2515,6 +2571,9 @@ WHERE 1 = 0
     # banded self-join over the same series, last buffer's rows
     out["stumpi_egress_m16"] = _stumped_long_sql(
         glob, band=256 - 16, last_rows=256 - 16 + 1)
+    # floss: same co-residency argument, right-directional
+    out["floss_right_m16"] = _stumped_long_sql(
+        glob, band=256 - 16, last_rows=256 - 16 + 1, right_only=True)
     out["mstumped_m16_long"] = _mstumped_long_sql(glob)
     out["nan_window_stats_m8"] = _nan_window_stats_sql(glob)
     out["doc_quality"] = r"""
