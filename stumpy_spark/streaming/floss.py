@@ -38,7 +38,14 @@ def iac_1d(width: int, seed: int = 0, reps: int = 10) -> np.ndarray:
 
 
 class FlossState:
-    """Streaming right-profile + CAC over a sliding window."""
+    """Streaming right-profile + CAC over a sliding window.
+
+    Non-finite appends are stored as 0 with a tracked per-point mask
+    (the reference's stumpi contract, stumpy/stumpi.py:315-321), so one
+    NaN cannot poison the QT recurrence for the rest of the stream;
+    window stats / masks ring-shift with the buffer — only the newest
+    window's stats are computed per update (the reference's incremental
+    bookkeeping, floss.py:600-692), not a full-buffer recompute."""
 
     def __init__(self, T: np.ndarray, m: int, excl_factor: int = 5,
                  seed: int = 0):
@@ -46,12 +53,18 @@ class FlossState:
         self.m = m
         self.n = len(T)
         self.excl_factor = excl_factor
-        self.T = T.copy()
+        Tc, M_T, Sigma_T, finw, con = kernels.preprocess(T, m)
+        self.T = Tc.copy()                    # zeroed buffer (ring)
+        self.isfin = np.isfinite(T)           # per-point mask (ring)
+        self.M = M_T.copy()
+        self.Sig = Sigma_T.copy()
+        self.finw = finw.copy()
+        self.con = con.copy()
         P, I, IL, IR, PL, PR = kernels.matrix_profile(
             T, m, return_left_right_P=True)
         self.PR = PR.copy()
         self.IR = IR.copy()
-        self.QT = kernels.sliding_dot_product(T[-m:], T)
+        self.QT = kernels.sliding_dot_product(Tc[-m:], Tc)
         self.n_appended = 0
         l = self.n - m + 1
         self._iac = iac_1d(l, seed=seed)
@@ -59,22 +72,34 @@ class FlossState:
     def update(self, t: float) -> None:
         m, n = self.m, self.n
         l = n - m + 1
+        finite = bool(np.isfinite(t))
+        tz = float(t) if finite else 0.0
         T = self.T
         t_drop = T[n - m]
         QT_new = np.empty(l)
         QT_new[:l - 1] = (self.QT[:l - 1] - T[:l - 1] * t_drop
-                          + T[m:n] * t)
+                          + T[m:n] * tz)
         T[:-1] = T[1:]
-        T[-1] = t
+        T[-1] = tz
+        self.isfin[:-1] = self.isfin[1:]
+        self.isfin[-1] = finite
         QT_new[l - 1] = float(T[-m:] @ T[-m:])
         self.QT = QT_new
         self.n_appended += 1
         self.PR[:-1] = self.PR[1:]
         self.IR[:-1] = self.IR[1:] - 1
-        _, M_T, Sigma_T, fin, con = kernels.preprocess(T, m)
+        # ring-shift window stats; compute only the newest window's
+        for arr in (self.M, self.Sig, self.finw, self.con):
+            arr[:-1] = arr[1:]
+        w = T[-m:]
+        wfin = bool(self.isfin[-m:].all())
+        self.M[-1] = float(w.mean()) if wfin else np.inf
+        self.Sig[-1] = float(w.std())
+        self.finw[-1] = wfin
+        self.con[-1] = wfin and (np.ptp(w) == 0)
         D2 = kernels.squared_distance_profile(
-            self.QT, M_T[-1], Sigma_T[-1], M_T, Sigma_T, m,
-            bool(con[-1]), con, bool(fin[-1]), fin)
+            self.QT, self.M[-1], self.Sig[-1], self.M, self.Sig, m,
+            bool(self.con[-1]), self.con, bool(self.finw[-1]), self.finw)
         D = np.sqrt(kernels.snap_to_zero(D2))
         kernels.apply_exclusion_zone(D, l - 1, np.inf,
                                      kernels.excl_zone(m))

@@ -154,3 +154,32 @@ def test_growing_aampi_equals_batch(k, p):
         npt.assert_almost_equal(exp_P, st.P_, decimal=PRECISION,
                                 err_msg=f"step {step}")
         npt.assert_array_equal(exp_I, st.I_, err_msg=f"step {step}")
+
+
+def test_floss_nonfinite_append_recovers():
+    """A NaN / inf append must not poison the QT recurrence: windows
+    containing the bad point get inf right-distances, and once it
+    egresses, later updates match the incremental naive oracle exactly
+    (the stumpi non-finite contract applied to floss)."""
+    rs = np.random.RandomState(17)
+    T0 = rs.uniform(-100, 100, 40)
+    m = 5
+    st = FlossState(T0, m)
+    stream = rs.uniform(-100, 100, 60)
+    stream[5] = np.nan
+    stream[20] = np.inf
+    T = T0.copy()
+    PR = kernels.matrix_profile(T, m, return_left_right_P=True)[5].copy()
+    IR = kernels.matrix_profile(T, m)[3].copy()
+    for t in stream:
+        T = np.append(T[1:], t)
+        l = len(T) - m + 1
+        D = naive.mass(T[-m:], T, query_idx=l - 1)
+        PR = np.append(PR[1:], np.inf)
+        IR = np.append(IR[1:] - 1, -1)
+        improved = D[:l - 1] < PR[:l - 1]
+        PR[:l - 1] = np.where(improved, D[:l - 1], PR[:l - 1])
+        IR[:l - 1] = np.where(improved, l - 1, IR[:l - 1])
+        st.update(t)
+    npt.assert_almost_equal(PR, st.PR, decimal=PRECISION)
+    npt.assert_array_equal(IR, st.IR)
