@@ -1343,6 +1343,92 @@ def _q_stumpi_egress_m16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.mapInPandas(run, schema=schema)
 
 
+def _q_aampi_egress_m12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Egress-mode aampi (sliding-buffer p-norm profile, reference
+    aampi.py egress path) with a full value+index oracle via the same
+    co-residency band argument as stumpi_egress_m16 — p-norm distances
+    are sqrt of exact integer sums, so any m works (m = 12 here)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark.streaming.floss import AampiState
+
+    window_n, m = 256, 12
+    rows = (_tokseq(spark, sf_dir)
+            .where((F.col("n_tok") >= 128) & (F.col("n_tok") <= 512))
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect())
+    T_arr = np.concatenate([np.asarray(r.tokens, dtype=np.float64)
+                            for r in rows])
+    one = spark.createDataFrame([(bytearray(T_arr.tobytes()),)], "t binary")
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("j", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["t"]:
+                a = np.frombuffer(bytes(blob), dtype=np.float64)
+                st = AampiState(a[:window_n], m, absolute_indices=True)
+                for t in a[window_n:]:
+                    st.update(float(t))
+                l = window_n - m + 1
+                total_l = len(a) - m + 1
+                yield pd.DataFrame({
+                    "i": np.arange(total_l - l, total_l),
+                    "p": st.P_,
+                    "j": st.I_,
+                })
+
+    return one.mapInPandas(run, schema=schema)
+
+
+def _aamp_long_sql(glob: str, m: int, band: int, last_rows: int) -> str:
+    leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, m))
+    d2 = " + ".join(f"(a.t{i} - b.t{i}) * (a.t{i} - b.t{i})"
+                    for i in range(m))
+    ez = -(-m // 4)
+    return f"""
+WITH sel AS (
+    SELECT doc_id, tokens FROM read_parquet('{glob}')
+    WHERE n_tok BETWEEN 128 AND 512 ORDER BY doc_id LIMIT 12
+),
+offs AS (
+    SELECT tokens,
+           SUM(len(tokens)) OVER (ORDER BY doc_id) - len(tokens) AS off
+    FROM sel
+),
+tok AS (
+    SELECT o.off + g.i - 1 AS pos, CAST(o.tokens[g.i] AS BIGINT) AS t
+    FROM offs o, LATERAL (SELECT unnest(generate_series(
+         1, len(o.tokens))) AS i) g
+),
+w AS (
+    SELECT pos, t AS t0, {leads}
+    FROM tok WINDOW dw AS (ORDER BY pos)
+),
+stats AS (SELECT * FROM w WHERE t{m - 1} IS NOT NULL),
+dd AS (
+    SELECT a.pos AS i, b.pos AS j,
+           sqrt(CAST({d2} AS DOUBLE)) AS d
+    FROM stats a JOIN stats b
+      ON abs(a.pos - b.pos) > {ez}
+     AND abs(a.pos - b.pos) <= {band}
+),
+prof AS (SELECT i, MIN(d) AS p FROM dd
+         WHERE i >= (SELECT MAX(pos) FROM stats) - {last_rows - 1}
+         GROUP BY i),
+nn AS (SELECT dd.i, MIN(dd.j) AS j FROM dd
+       JOIN prof ON dd.i = prof.i AND dd.d = prof.p GROUP BY dd.i)
+SELECT prof.i::BIGINT AS i, prof.p, nn.j::BIGINT AS j
+FROM prof JOIN nn ON prof.i = nn.i
+"""
+
+
 def _q_floss_right_m16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming FLOSS state machine (reference floss.py:600-692: egress
     + one-directional right-profile updates) through the driver gate with
@@ -1765,6 +1851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": _q_doc_quality,
     "stumpi_egress_m16": _q_stumpi_egress_m16,
     "floss_right_m16": _q_floss_right_m16,
+    "aampi_egress_m12": _q_aampi_egress_m12,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
@@ -2574,6 +2661,8 @@ WHERE 1 = 0
     # floss: same co-residency argument, right-directional
     out["floss_right_m16"] = _stumped_long_sql(
         glob, band=256 - 16, last_rows=256 - 16 + 1, right_only=True)
+    out["aampi_egress_m12"] = _aamp_long_sql(
+        glob, 12, band=256 - 12, last_rows=256 - 12 + 1)
     out["mstumped_m16_long"] = _mstumped_long_sql(glob)
     out["nan_window_stats_m8"] = _nan_window_stats_sql(glob)
     out["doc_quality"] = r"""

@@ -249,21 +249,37 @@ class AampiState:
     the point is zeroed in the stored ring (keeping the QT / ||W||^2
     recurrences finite forever — previously one NaN poisoned QT even
     after the point egressed), a per-point finite mask is tracked, and
-    distances of affected windows are forced to inf."""
+    distances of affected windows are forced to inf.
 
-    def __init__(self, T: np.ndarray, m: int):
+    Indices are stored **absolute** (stream positions), like
+    :class:`~stumpy_spark.streaming.stumpi.StumpiState`, with the same
+    two accessor contracts: ``absolute_indices=True`` returns raw
+    absolute indices (the reference's egress contract — they may point
+    at already-egressed points); the default reports egressed neighbors
+    as -1.  ``I`` is the window-relative view kept for the incremental
+    naive oracles."""
+
+    def __init__(self, T: np.ndarray, m: int,
+                 absolute_indices: bool = False):
         T = np.asarray(T, dtype=np.float64)
         self.m = m
         self.n = len(T)
+        self.absolute_indices = absolute_indices
         self.isfin = np.isfinite(T)
         self.T = np.where(self.isfin, T, 0.0)
         P, I, _, _ = kernels.matrix_profile_absolute(T, m)
         self.P = P[:, 0].copy()
-        self.I = I[:, 0].copy()
+        self._I = I[:, 0].copy()              # absolute; -1 sentinel
         self.QT = kernels.sliding_dot_product(self.T[-m:], self.T)
         cs2 = np.concatenate(([0.0], np.cumsum(self.T * self.T)))
         self.w2 = cs2[m:] - cs2[:-m]          # rolling ||W_i||^2
         self.n_appended = 0
+
+    @property
+    def I(self):
+        """Window-relative index view (dropped neighbors go negative);
+        the -1 'no neighbor' sentinel stays -1."""
+        return np.where(self._I >= 0, self._I - self.n_appended, -1)
 
     def update(self, t: float) -> None:
         m, n = self.m, self.n
@@ -288,7 +304,7 @@ class AampiState:
         self.w2 = w2_new
         self.n_appended += 1
         self.P[:-1] = self.P[1:]
-        self.I[:-1] = self.I[1:] - 1
+        self._I[:-1] = self._I[1:]            # absolute: no drift
         D2 = self.w2 - 2.0 * self.QT + self.w2[l - 1]
         np.maximum(D2, 0.0, out=D2)
         D = np.sqrt(D2)
@@ -299,17 +315,18 @@ class AampiState:
             D[:] = np.inf
         kernels.apply_exclusion_zone(D, l - 1, np.inf,
                                      kernels.excl_zone(m))
+        new_abs = l - 1 + self.n_appended     # the new window, absolute
         improved = D[:l - 1] < self.P[:l - 1]
         self.P[:l - 1] = np.where(improved, D[:l - 1], self.P[:l - 1])
-        self.I[:l - 1] = np.where(improved, l - 1, self.I[:l - 1])
+        self._I[:l - 1] = np.where(improved, new_abs, self._I[:l - 1])
         finite_D = np.isfinite(D)
         if finite_D.any():
             j = int(np.argmin(np.where(finite_D, D, np.inf)))
             self.P[l - 1] = D[j]
-            self.I[l - 1] = j
+            self._I[l - 1] = j + self.n_appended
         else:
             self.P[l - 1] = np.inf
-            self.I[l - 1] = -1
+            self._I[l - 1] = -1
 
     # -- accessors / serialization (same wiring contract as StumpiState) ---
     @property
@@ -318,13 +335,16 @@ class AampiState:
 
     @property
     def I_(self):
-        return np.where(self.I >= 0, self.I + self.n_appended, -1)
+        if self.absolute_indices:
+            return self._I.copy()
+        rel = self._I - self.n_appended
+        return np.where((rel >= 0) & (self._I >= 0), self._I, -1)
 
     def to_tuple(self):
         # left_P slot carries the rolling ||W||^2 (w2) for aampi; the
         # M/Sig slots of the shared stream tuple are unused
         return (self.m, self.n, self.n_appended,
-                self.T.tolist(), self.P.tolist(), self.I.tolist(),
+                self.T.tolist(), self.P.tolist(), self._I.tolist(),
                 self.w2.tolist(), [], self.QT.tolist(),
                 [bool(x) for x in self.isfin], [], [])
 
@@ -335,8 +355,9 @@ class AampiState:
          isfin, _M, _Sig) = tup
         obj.T = np.asarray(T, dtype=np.float64)
         obj.P = np.asarray(P, dtype=np.float64)
-        obj.I = np.asarray(I, dtype=np.int64)
+        obj._I = np.asarray(I, dtype=np.int64)
         obj.w2 = np.asarray(w2, dtype=np.float64)
         obj.QT = np.asarray(QT, dtype=np.float64)
         obj.isfin = np.asarray(isfin, dtype=bool)
+        obj.absolute_indices = False
         return obj
