@@ -1343,6 +1343,72 @@ def _q_stumpi_egress_m16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.mapInPandas(run, schema=schema)
 
 
+def _q_stumpi_egress_topk_m16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Egress stumpi with k = 3 (the reference's stumpi top-k state,
+    stumpy/stumpi.py:18-367) — the streaming sorted-insert maintenance
+    must equal exact top-3 over every pair the buffer ever compared,
+    which the co-residency band expresses as ROW_NUMBER ≤ 3 over the
+    banded self-join (ties by smaller j, the insert-if-strictly-better
+    order)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark.streaming.stumpi import StumpiState
+
+    window_n, m, k = 256, 16, 3
+    rows = (_tokseq(spark, sf_dir)
+            .where((F.col("n_tok") >= 128) & (F.col("n_tok") <= 512))
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect())
+    T_arr = np.concatenate([np.asarray(r.tokens, dtype=np.float64)
+                            for r in rows])
+    one = spark.createDataFrame([(bytearray(T_arr.tobytes()),)], "t binary")
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("j", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["t"]:
+                a = np.frombuffer(bytes(blob), dtype=np.float64)
+                st = StumpiState(a[:window_n], m, k=k,
+                                 absolute_indices=True)
+                for t in a[window_n:]:
+                    st.update(float(t))
+                l = window_n - m + 1
+                total_l = len(a) - m + 1
+                i_abs = np.repeat(np.arange(total_l - l, total_l), k)
+                yield pd.DataFrame({
+                    "i": i_abs,
+                    "rank": np.tile(np.arange(1, k + 1), l),
+                    "p": np.asarray(st.P_).ravel(),
+                    "j": np.asarray(st.I_).ravel(),
+                })
+
+    return one.mapInPandas(run, schema=schema)
+
+
+def _stumpi_topk_sql(glob: str, m: int, band: int, last_rows: int,
+                     k: int) -> str:
+    base = _stumped_long_sql(glob, m, band=band, last_rows=last_rows)
+    # swap the top-1 prof/nn tail for a ROW_NUMBER top-k
+    head, _, _ = base.rpartition("prof AS")
+    return head + f"""ranked AS (
+    SELECT i, j, d,
+           ROW_NUMBER() OVER (PARTITION BY i ORDER BY d, j) AS rank
+    FROM dd
+    WHERE i >= (SELECT MAX(pos) FROM stats) - {last_rows - 1}
+)
+SELECT i::BIGINT AS i, rank::BIGINT AS rank, d AS p, j::BIGINT AS j
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _q_aampi_egress_m12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Egress-mode aampi (sliding-buffer p-norm profile, reference
     aampi.py egress path) with a full value+index oracle via the same
@@ -1852,6 +1918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stumpi_egress_m16": _q_stumpi_egress_m16,
     "floss_right_m16": _q_floss_right_m16,
     "aampi_egress_m12": _q_aampi_egress_m12,
+    "stumpi_egress_topk_m16": _q_stumpi_egress_topk_m16,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
@@ -2663,6 +2730,8 @@ WHERE 1 = 0
         glob, band=256 - 16, last_rows=256 - 16 + 1, right_only=True)
     out["aampi_egress_m12"] = _aamp_long_sql(
         glob, 12, band=256 - 12, last_rows=256 - 12 + 1)
+    out["stumpi_egress_topk_m16"] = _stumpi_topk_sql(
+        glob, 16, band=256 - 16, last_rows=256 - 16 + 1, k=3)
     out["mstumped_m16_long"] = _mstumped_long_sql(glob)
     out["nan_window_stats_m8"] = _nan_window_stats_sql(glob)
     out["doc_quality"] = r"""
