@@ -1710,6 +1710,92 @@ FROM ww GROUP BY doc_id
 """
 
 
+def _q_mpdisted_m16_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MPdist between two over-limit series (the reference's
+    ``mpdisted``, mpdist.py:134-379: two AB-joins → P_ABBA → k-th
+    smallest) through the driver gate: series A/B are the first/last 6
+    of the stumped_m16_long doc set, m = 16 (bit-exact), tile=512, and
+    the oracle recomputes both AB profiles and the k-th smallest
+    (k = ⌈0.05·(n_A+n_B)⌉, the reference default) in SQL."""
+    import numpy as np
+    from stumpy_spark.plans.longseq import mpdisted
+    rows = (_tokseq(spark, sf_dir)
+            .where((F.col("n_tok") >= 128) & (F.col("n_tok") <= 512))
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect())
+    toks = [np.asarray(r.tokens, dtype=np.float64) for r in rows]
+    T_A = np.concatenate(toks[:6])
+    T_B = np.concatenate(toks[6:])
+    v = mpdisted(spark, T_A, T_B, 16, tile=512)
+    return spark.createDataFrame([(float(v),)], "mpdist double")
+
+
+def _mpdisted_long_sql(glob: str, m: int = 16) -> str:
+    leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, m))
+    s = " + ".join(f"t{i}" for i in range(m))
+    s2 = " + ".join(f"t{i}*t{i}" for i in range(m))
+    cols = ", ".join(f"t{i}" for i in range(m))
+    d2 = _d2_expr_m('a', 'b', m)
+    side = []
+    for pre, cond in (("a", "rn <= 6"), ("b", "rn > 6")):
+        side.append(f"""
+{pre}offs AS (
+    SELECT tokens,
+           SUM(len(tokens)) OVER (ORDER BY rn) - len(tokens) AS off
+    FROM numbered WHERE {cond}
+),
+{pre}tok AS (
+    SELECT o.off + g.i - 1 AS pos, CAST(o.tokens[g.i] AS BIGINT) AS t
+    FROM {pre}offs o, LATERAL (SELECT unnest(generate_series(
+         1, len(o.tokens))) AS i) g
+),
+{pre}w AS (
+    SELECT pos, t AS t0, {leads}
+    FROM {pre}tok WINDOW dw AS (ORDER BY pos)
+),
+{pre}stats AS (
+    SELECT pos, {cols},
+           CAST({s} AS DOUBLE)/{m} AS mu,
+           sqrt(greatest(CAST({s2} AS DOUBLE)/{m}
+                - (CAST({s} AS DOUBLE)/{m})*(CAST({s} AS DOUBLE)/{m}),
+                0.0)) AS sig
+    FROM {pre}w WHERE t{m - 1} IS NOT NULL
+)""")
+    return f"""
+WITH sel AS (
+    SELECT doc_id, tokens FROM read_parquet('{glob}')
+    WHERE n_tok BETWEEN 128 AND 512 ORDER BY doc_id LIMIT 12
+),
+numbered AS (
+    SELECT doc_id, tokens, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+    FROM sel
+),{side[0]},{side[1]},
+dab AS (
+    SELECT a.pos AS i,
+           sqrt(CASE WHEN ({d2}) < 1e-14 THEN 0.0 ELSE ({d2}) END) AS d
+    FROM astats a JOIN bstats b ON TRUE
+),
+profa AS (SELECT i, MIN(d) AS p FROM dab GROUP BY i),
+dba AS (
+    SELECT b.pos AS i,
+           sqrt(CASE WHEN ({_d2_expr_m('b', 'a', m)}) < 1e-14 THEN 0.0
+                ELSE ({_d2_expr_m('b', 'a', m)}) END) AS d
+    FROM bstats b JOIN astats a ON TRUE
+),
+profb AS (SELECT i, MIN(d) AS p FROM dba GROUP BY i),
+abba AS (SELECT p FROM profa UNION ALL SELECT p FROM profb),
+params AS (
+    SELECT CAST(ceil(0.05 * (SELECT SUM(len(tokens)) FROM sel))
+                AS BIGINT) AS k0,
+           (SELECT COUNT(*) FROM abba) AS total
+)
+SELECT q.p AS mpdist
+FROM (SELECT p, ROW_NUMBER() OVER (ORDER BY p) - 1 AS rk FROM abba) q,
+     params
+WHERE q.rk = least(params.k0, params.total - 1)
+"""
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (k=3) Jaccard near-dup pairs through the inverted
     shingle index (recall exact by construction, unlike the MinHash
@@ -1919,6 +2005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "floss_right_m16": _q_floss_right_m16,
     "aampi_egress_m12": _q_aampi_egress_m12,
     "stumpi_egress_topk_m16": _q_stumpi_egress_topk_m16,
+    "mpdisted_m16_long": _q_mpdisted_m16_long,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
@@ -2732,6 +2819,7 @@ WHERE 1 = 0
         glob, 12, band=256 - 12, last_rows=256 - 12 + 1)
     out["stumpi_egress_topk_m16"] = _stumpi_topk_sql(
         glob, 16, band=256 - 16, last_rows=256 - 16 + 1, k=3)
+    out["mpdisted_m16_long"] = _mpdisted_long_sql(glob)
     out["mstumped_m16_long"] = _mstumped_long_sql(glob)
     out["nan_window_stats_m8"] = _nan_window_stats_sql(glob)
     out["doc_quality"] = r"""
