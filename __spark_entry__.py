@@ -1796,6 +1796,76 @@ WHERE q.rk = least(params.k0, params.total - 1)
 """
 
 
+def _q_stimped_m8_16_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed pan matrix profile (the reference's ``stimped``,
+    stimp.py:372-520: one tiled self-join per window size in BFS order)
+    through the driver gate: window sizes {8, 16} (both power-of-two →
+    bit-exact), same concatenated series, tile=512; the oracle unions
+    the per-m profile schemes."""
+    import numpy as np
+    from stumpy_spark.plans.longseq import stimped
+    rows = (_tokseq(spark, sf_dir)
+            .where((F.col("n_tok") >= 128) & (F.col("n_tok") <= 512))
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect())
+    T_arr = np.concatenate([np.asarray(r.tokens, dtype=np.float64)
+                            for r in rows])
+    pan = stimped(spark, T_arr, [8, 16], tile=512)
+    return pan.select(F.col("m").cast("long").alias("m"),
+                      F.col("i").cast("long").alias("i"),
+                      F.col("P").alias("p"))
+
+
+def _stimped_long_sql(glob: str) -> str:
+    parts = []
+    for m in (8, 16):
+        leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}"
+                          for i in range(1, m))
+        s = " + ".join(f"t{i}" for i in range(m))
+        s2 = " + ".join(f"t{i}*t{i}" for i in range(m))
+        cols = ", ".join(f"t{i}" for i in range(m))
+        ez = -(-m // 4)
+        parts.append(f"""
+w{m} AS (
+    SELECT pos, t AS t0, {leads}
+    FROM tok WINDOW dw AS (ORDER BY pos)
+),
+stats{m} AS (
+    SELECT pos, {cols},
+           CAST({s} AS DOUBLE)/{m} AS mu,
+           sqrt(greatest(CAST({s2} AS DOUBLE)/{m}
+                - (CAST({s} AS DOUBLE)/{m})*(CAST({s} AS DOUBLE)/{m}),
+                0.0)) AS sig
+    FROM w{m} WHERE t{m - 1} IS NOT NULL
+),
+prof{m} AS (
+    SELECT a.pos AS i,
+           MIN(sqrt(CASE WHEN ({_d2_expr_m('a', 'b', m)}) < 1e-14
+                    THEN 0.0 ELSE ({_d2_expr_m('a', 'b', m)}) END)) AS p
+    FROM stats{m} a JOIN stats{m} b ON abs(a.pos - b.pos) > {ez}
+    GROUP BY a.pos
+)""")
+    return f"""
+WITH sel AS (
+    SELECT doc_id, tokens FROM read_parquet('{glob}')
+    WHERE n_tok BETWEEN 128 AND 512 ORDER BY doc_id LIMIT 12
+),
+offs AS (
+    SELECT tokens,
+           SUM(len(tokens)) OVER (ORDER BY doc_id) - len(tokens) AS off
+    FROM sel
+),
+tok AS (
+    SELECT o.off + g.i - 1 AS pos, CAST(o.tokens[g.i] AS BIGINT) AS t
+    FROM offs o, LATERAL (SELECT unnest(generate_series(
+         1, len(o.tokens))) AS i) g
+),{parts[0]},{parts[1]}
+SELECT 8::BIGINT AS m, i::BIGINT AS i, p FROM prof8
+UNION ALL
+SELECT 16::BIGINT, i::BIGINT, p FROM prof16
+"""
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (k=3) Jaccard near-dup pairs through the inverted
     shingle index (recall exact by construction, unlike the MinHash
@@ -2006,6 +2076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aampi_egress_m12": _q_aampi_egress_m12,
     "stumpi_egress_topk_m16": _q_stumpi_egress_topk_m16,
     "mpdisted_m16_long": _q_mpdisted_m16_long,
+    "stimped_m8_16_long": _q_stimped_m8_16_long,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
@@ -2820,6 +2891,7 @@ WHERE 1 = 0
     out["stumpi_egress_topk_m16"] = _stumpi_topk_sql(
         glob, 16, band=256 - 16, last_rows=256 - 16 + 1, k=3)
     out["mpdisted_m16_long"] = _mpdisted_long_sql(glob)
+    out["stimped_m8_16_long"] = _stimped_long_sql(glob)
     out["mstumped_m16_long"] = _mstumped_long_sql(glob)
     out["nan_window_stats_m8"] = _nan_window_stats_sql(glob)
     out["doc_quality"] = r"""
