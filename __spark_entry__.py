@@ -2021,6 +2021,53 @@ def _q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .withColumn("side", F.lit("extra"))))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate clustering: the step after pair
+    emission a real pipeline needs (near-dup is not transitive, so you
+    dedup per component, not per pair).  Edges are the exact n-gram
+    (k=3, >=0.5 Jaccard) pairs; every doc gets its component's min id
+    as canonical label + the cluster size.  Oracle: DuckDB recursive
+    CTE reachability over the same edge SQL."""
+    from stumpy_spark.functions.dedup import (ngram_dedup_pairs,
+                                              dedup_clusters)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = ngram_dedup_pairs(docs, k=3, threshold=0.5)
+    return dedup_clusters(docs, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"))
+
+
+def _q_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the events table via the
+    native session_window groupBy aggregate (map-side partial agg, no
+    per-user sorted window) — oracle re-derives sessions with the
+    lag/cumsum formulation in SQL."""
+    from stumpy_spark.rollup.sessions import sessionize
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ev, gap_seconds=1800).withColumn(
+        "user_id", F.col("user_id").cast("long"))
+
+
+def _q_token_quantiles_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of sequence length per (source, day) through
+    the count-histogram path (domain-bounded shuffle, no per-group
+    value buffering) — the scale-safe twin of SQL quantile()."""
+    from stumpy_spark.rollup.quantiles import bucket_quantiles
+    df = _tokseq(spark, sf_dir)
+    return bucket_quantiles(df, qs=(0.5, 0.95, 0.99), tier="1d").select(
+        "source", F.col("bucket").cast("string").alias("bucket"),
+        "q50", "q95", "q99")
+
+
+def _q_top_tokens_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: top-10 tokens per source over documents
+    (vocabulary-bounded partial-agg shuffle + per-group rank)."""
+    from stumpy_spark.functions.textfns import top_tokens
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return top_tokens(docs, k=10, by="source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": _rollup("1m"),
     "rollup_1h": _rollup("1h"),
@@ -2081,6 +2128,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_pairs": _q_emb_neardup_pairs,
     "lsh_knn_recall_k5": _q_lsh_knn_recall,
     "ivf_knn_recall_k5": _q_ivf_knn_recall,
+    "dedup_clusters": _q_dedup_clusters,
+    "sessionize_30m": _q_sessionize_30m,
+    "token_quantiles_1d": _q_token_quantiles_1d,
+    "top_tokens_k10": _q_top_tokens_k10,
 }
 
 
@@ -2944,6 +2995,108 @@ FROM inter
 JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+    out["dedup_clusters"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(tk[g.i+1:g.i+3], ' ') AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(
+       0, greatest(len(tk)-3, 0))) AS i) g
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+assigned AS (
+  SELECT d.doc_id AS doc_id,
+         COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       (COUNT(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+FROM assigned
+"""
+    out["sessionize_30m"] = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value, event_id,
+         SUM(CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id::BIGINT AS user_id,
+       epoch_us(MIN(ts))::BIGINT AS session_start_us,
+       epoch_us(MAX(ts))::BIGINT AS session_end_us,
+       COUNT(*)::BIGINT AS n_events,
+       round(SUM(value), 3) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+    out["token_quantiles_1d"] = f"""
+WITH h AS (
+  SELECT source, date_trunc('day', event_ts) AS bucket, n_tok AS v,
+         COUNT(*) AS c
+  FROM read_parquet('{glob}') GROUP BY 1, 2, 3
+),
+cm AS (
+  SELECT source, bucket, v,
+         SUM(c) OVER (PARTITION BY source, bucket ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY source, bucket) AS n
+  FROM h
+)
+SELECT source,
+       CAST(CAST(bucket AS TIMESTAMP) AS VARCHAR) AS bucket,
+       MIN(CASE WHEN cum >= ceil(0.5 * n) THEN v END)::BIGINT AS q50,
+       MIN(CASE WHEN cum >= ceil(0.95 * n) THEN v END)::BIGINT AS q95,
+       MIN(CASE WHEN cum >= ceil(0.99 * n) THEN v END)::BIGINT AS q99
+FROM cm GROUP BY source, bucket
+"""
+    out["top_tokens_k10"] = """
+WITH t AS (
+  SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents
+),
+c AS (
+  SELECT source, token, COUNT(*) AS n FROM t
+  WHERE token <> '' GROUP BY 1, 2
+),
+r AS (
+  SELECT source, token, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, token ASC) AS rank
+  FROM c
+)
+SELECT source, token, n::BIGINT AS n, rank::BIGINT AS rank
+FROM r WHERE rank <= 10
 """
     out["emb_neardup_pairs"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

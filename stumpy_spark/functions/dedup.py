@@ -292,3 +292,77 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
     return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components over near-dup edges: (id, cluster_id).
+
+    ``pairs`` is any (id_a, id_b) edge relation (e.g. the output of
+    :func:`minhash_dedup_pairs` / :func:`ngram_dedup_pairs` /
+    :func:`simhash_near_pairs`); ``cluster_id`` is the minimum id
+    reachable from each node, so every duplicate group gets one stable
+    canonical label.  This is the step a real pipeline runs *after*
+    pair emission: near-dup relations are not transitive, so keeping
+    "one doc per pair" under-deletes — you dedup per component.
+
+    Scale design (100 TB):
+    - min-label propagation: each round is ONE shuffle — join the
+      symmetrized edge list with current labels on ``src`` and take the
+      per-``dst`` min (map-side partial min).  Rounds = component
+      diameter; dedup components are near-cliques (diameter 2-3), so
+      this converges in a handful of rounds.  For adversarial
+      long-path graphs, switch to large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce", SoCC'14)
+      for O(log n) rounds — same join/agg primitives.
+    - ``localCheckpoint`` after every round truncates the lineage so
+      the plan doesn't deepen with iterations (on a cluster, use a
+      reliable ``checkpoint`` dir instead).
+    - convergence test is a driver-side ``sum(cluster_id hash)``
+      aggregation, not a collect: labels only ever decrease, so an
+      unchanged sum is a fixpoint proof.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("cluster_id", F.col("id"))
+              .localCheckpoint(eager=True))
+    edges = edges.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_rounds):
+        prop = (edges.join(labels, edges["src"] == labels["id"])
+                .select(F.col("dst").alias("id"), F.col("cluster_id")))
+        labels = (labels.select("id", "cluster_id").union(prop)
+                  .groupBy("id").agg(F.min("cluster_id")
+                                     .alias("cluster_id"))
+                  .localCheckpoint(eager=True))
+        # labels decrease monotonically -> unchanged checksum = fixpoint
+        cur = labels.agg(
+            F.sum(F.xxhash64("id", "cluster_id").cast("decimal(38,0)"))
+            .alias("s")).collect()[0]["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign every doc a duplicate-cluster label and cluster size.
+
+    Docs in no pair are singletons (cluster_id = own id, size 1).
+    Output: (id_col, cluster_id, cluster_size).  ``is_canonical``
+    (keep-list) is ``id == cluster_id``.
+    """
+    cc = connected_components(pairs)
+    assigned = (df.select(F.col(id_col))
+                .join(cc, df[id_col] == cc["id"], "left")
+                .select(F.col(id_col),
+                        F.coalesce("cluster_id", F.col(id_col))
+                        .alias("cluster_id")))
+    sizes = (assigned.groupBy("cluster_id")
+             .agg(F.count("*").alias("cluster_size")))
+    return assigned.join(sizes, "cluster_id").select(
+        id_col, "cluster_id", "cluster_size")

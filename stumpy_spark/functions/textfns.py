@@ -101,3 +101,32 @@ def doc_fingerprint(col: Column) -> Column:
                     lambda x: x != "")
     return F.aggregate(toks, F.lit(0).cast("long"),
                        lambda acc, x: F.xxhash64(acc, x))
+
+
+def top_tokens(df: DataFrame, k: int = 10, by: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Exact heavy hitters: top-k tokens by count per group.
+
+    Output: (by, token, n, rank), rank 1..k, ties broken by token
+    string ascending (deterministic across engines).
+
+    Scale design: the explode feeds a ``groupBy(by, token)`` count that
+    partial-aggregates map-side, so the shuffle carries one row per
+    distinct (group, token) — vocabulary-bounded, not corpus-bounded.
+    The rank window then runs over per-group vocabularies only.  If the
+    vocabulary itself is unbounded (URLs, hashes), cap with a count
+    filter before the window, or switch to a count-min + heap sketch —
+    for natural-language token streams the exact path holds at 100 TB.
+    """
+    toks = (df.select(F.col(by),
+                      F.explode(F.split(F.col(text_col), r"\s+"))
+                      .alias("token"))
+            .where(F.col("token") != ""))
+    counts = toks.groupBy(by, "token").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(by).orderBy(F.col("n").desc(),
+                                       F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(by, "token", F.col("n").cast("long").alias("n"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -1,0 +1,54 @@
+"""Gap-based sessionization over an event stream.
+
+The canonical training-pipeline / timeseries op the rollup tiers don't
+cover: group events into per-user sessions separated by >= gap of
+inactivity, then aggregate per session.
+
+Scale design (100 TB):
+- the aggregate path uses Spark's native ``F.session_window`` — a
+  *groupBy aggregation*, not a window function, so it gets map-side
+  partial aggregation and never materializes a per-user sorted row
+  stream.  One shuffle on (user, merged-window).
+- session membership depends only on timestamp gaps, so the result is
+  deterministic even with duplicate timestamps (ties land in the same
+  session by definition: gap 0 < any positive gap).
+- the same call works under Structured Streaming (session_window +
+  watermark) — this module is the batch twin.
+- per-user skew: a user with millions of events still aggregates
+  map-side per partition before the merge; no per-user global sort.
+
+Semantics (matches Spark's session_window, measured): an event extends
+the current session iff ``ts <= prev_ts + gap`` — windows merge when
+they touch, so a gap of exactly ``gap_seconds`` stays in-session and
+only ``> gap_seconds`` starts a new one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800,
+               user_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Per-(user, session) aggregate rows.
+
+    Output: (user_col, session_start_us, session_end_us, n_events,
+    sum_value) — session bounds as exact integer epoch-microseconds
+    (timezone-independent for TIMESTAMP_NTZ inputs, and bit-comparable
+    across engines, unlike string-formatted or float-second stamps).
+    """
+    sw = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    us = ("timestampdiff(MICROSECOND, "
+          f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {{agg}}({ts_col}))")
+    return (events
+            .groupBy(F.col(user_col), sw.alias("_w"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum(value_col), 3).alias("sum_value"),
+                 F.expr(us.format(agg="min")).cast("long")
+                 .alias("session_start_us"),
+                 F.expr(us.format(agg="max")).cast("long")
+                 .alias("session_end_us"))
+            .select(user_col, "session_start_us", "session_end_us",
+                    "n_events", "sum_value"))

@@ -1,0 +1,159 @@
+"""Tests for sessionization, histogram quantiles, connected-components
+dedup clustering, and heavy hitters — pure-python oracles."""
+
+import math
+from collections import Counter
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from stumpy_spark.functions import dedup, textfns
+from stumpy_spark.rollup.quantiles import bucket_quantiles
+from stumpy_spark.rollup.sessions import sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min label per component
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+def test_connected_components_chain_and_triangle(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
+    # pair 20-21
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+             (20, 21)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    nodes = sorted({x for e in edges for x in e})
+    want = _uf_components(edges, nodes)
+    assert got == want
+
+
+def test_dedup_clusters_singletons_and_sizes(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6]}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]}))
+    out = dedup.dedup_clusters(docs, pairs).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["cluster_id"]) == [1, 1, 1, 4, 5, 6]
+    assert list(out["cluster_size"]) == [3, 3, 3, 1, 1, 1]
+
+
+def test_connected_components_string_ids(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["b", "c"], "id_b": ["a", "b"]}))
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def test_sessionize_gap_boundary(spark):
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+    gap = 60
+    us = 1_000_000
+    rows = [
+        # user 1: second event exactly at the gap boundary STAYS in
+        # session (windows merge when they touch); third is 1us past
+        # the boundary from the second -> new session
+        (1, t0, 1.0),
+        (1, t0 + timedelta(seconds=gap), 2.0),
+        (1, t0 + timedelta(seconds=2 * gap, microseconds=1), 3.0),
+        # user 2: within-gap chain stays one session
+        (2, t0, 5.0),
+        (2, t0 + timedelta(seconds=gap - 1), 6.0),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value"]))
+    out = sessionize(ev, gap_seconds=gap).toPandas() \
+        .sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 1, 2]
+    assert list(out["n_events"]) == [2, 1, 2]
+    assert list(out["sum_value"]) == [3.0, 3.0, 11.0]
+    # exact microsecond spans (absolute epoch is tz-dependent locally)
+    spans = (out["session_end_us"] - out["session_start_us"]).tolist()
+    assert spans == [gap * us, 0, (gap - 1) * us]
+
+
+def test_sessionize_events_fixture_python_oracle(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sessionize(ev, gap_seconds=1800).toPandas()
+    pdf = ev.select("user_id", "ts", "value").toPandas() \
+        .sort_values(["user_id", "ts"])
+    want = []
+    for uid, g in pdf.groupby("user_id"):
+        ts = g["ts"].astype("int64").tolist()  # ns
+        vals = g["value"].tolist()
+        start = 0
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or ts[i] - ts[i - 1] > 1800 * 10**9:
+                want.append((uid, len(vals[start:i]),
+                             round(sum(vals[start:i]), 3)))
+                start = i
+    got = sorted(zip(out["user_id"], out["n_events"], out["sum_value"]))
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# histogram quantiles
+# ---------------------------------------------------------------------------
+
+def test_bucket_quantiles_matches_type1(spark):
+    from stumpy_spark.sources.tokseq import read_tokseq
+    df = read_tokseq(spark, SF)
+    out = bucket_quantiles(df, qs=(0.5, 0.95, 0.99), tier="1d")
+    got = out.toPandas()
+    pdf = df.select("source", F.date_trunc("day", "event_ts")
+                    .alias("bucket"), "n_tok").toPandas()
+    for _, row in got.iterrows():
+        vals = sorted(pdf[(pdf["source"] == row["source"]) &
+                          (pdf["bucket"] == row["bucket"])]["n_tok"])
+        n = len(vals)
+        for q, col in ((0.5, "q50"), (0.95, "q95"), (0.99, "q99")):
+            want = vals[math.ceil(q * n) - 1]
+            assert row[col] == want, (row["source"], row["bucket"], q)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_top_tokens_matches_counter(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = textfns.top_tokens(docs, k=5).toPandas()
+    pdf = docs.select("source", "text").toPandas()
+    for src, g in pdf.groupby("source"):
+        c = Counter()
+        for t in g["text"]:
+            c.update(w for w in (t or "").split() if w)
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        sub = out[out["source"] == src].sort_values("rank")
+        got = list(zip(sub["token"], sub["n"]))
+        assert got == want, src
