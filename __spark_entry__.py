@@ -2068,6 +2068,31 @@ def _q_top_tokens_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tokens(docs, k=10, by="source")
 
 
+def _q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: attach the latest preceding 'view' event to
+    every 'purchase' per user (single shuffle on user_id, union +
+    last_value-ignorenulls window — no range self-join).  Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from stumpy_spark.operators.asof import asof_join
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    views = (ev.where(F.col("event_type") == "view")
+             .select("user_id", "ts", "event_id", "value"))
+    j = asof_join(purchases, views, key="user_id", ts_col="ts",
+                  tiebreak="event_id")
+    us = ("timestampdiff(MICROSECOND, "
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})")
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.expr(us.format(c="ts")).cast("long").alias("ts_us"),
+        F.col("event_id_right").cast("long").alias("view_event_id"),
+        F.round("value_right", 3).alias("view_value"),
+        F.expr(us.format(c="ts_right")).cast("long")
+        .alias("view_ts_us"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": _rollup("1m"),
     "rollup_1h": _rollup("1h"),
@@ -2132,6 +2157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_30m": _q_sessionize_30m,
     "token_quantiles_1d": _q_token_quantiles_1d,
     "top_tokens_k10": _q_top_tokens_k10,
+    "asof_last_view": _q_asof_last_view,
 }
 
 
@@ -3097,6 +3123,24 @@ r AS (
 )
 SELECT source, token, n::BIGINT AS n, rank::BIGINT AS rank
 FROM r WHERE rank <= 10
+"""
+    out["asof_last_view"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'view'
+)
+SELECT p.event_id::BIGINT AS event_id,
+       p.user_id::BIGINT AS user_id,
+       epoch_us(p.ts)::BIGINT AS ts_us,
+       v.event_id::BIGINT AS view_event_id,
+       round(v.value, 3) AS view_value,
+       epoch_us(v.ts)::BIGINT AS view_ts_us
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
 """
     out["emb_neardup_pairs"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

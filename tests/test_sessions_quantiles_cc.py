@@ -157,3 +157,51 @@ def test_top_tokens_matches_counter(spark):
         sub = out[out["source"] == src].sort_values("rank")
         got = list(zip(sub["token"], sub["n"]))
         assert got == want, src
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_matches_merge_asof(spark):
+    from stumpy_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id", "value")
+    got = asof_join(left, right, key="user_id", ts_col="ts",
+                    tiebreak="event_id").toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts") \
+        .rename(columns={"event_id": "event_id_right",
+                         "value": "value_right", "ts": "ts_right"})
+    want = pd.merge_asof(lp, rp, left_on="ts", right_on="ts_right",
+                         by="user_id", direction="backward") \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(got["event_id"]) == list(want["event_id"])
+    assert got["event_id_right"].fillna(-1).tolist() == \
+        want["event_id_right"].fillna(-1).tolist()
+    assert got["ts_right"].tolist() == want["ts_right"].tolist()
+
+
+def test_asof_join_tolerance_and_boundary(spark):
+    from stumpy_spark.operators.asof import asof_join
+    from datetime import datetime, timedelta
+    t0 = datetime(2025, 1, 1)
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 1, 2], "ts": [t0 + timedelta(seconds=s)
+                                for s in (10, 100, 5)],
+         "lid": [1, 2, 3]}))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 1, 2], "ts": [t0 + timedelta(seconds=s)
+                                for s in (10, 50, 9)],
+         "rid": [7, 8, 9]}))
+    out = asof_join(left, right, key="k", ts_col="ts",
+                    tolerance_us=20_000_000, tiebreak="rid") \
+        .toPandas().sort_values("lid")
+    # lid=1: right at exactly ts (<= matches), in tolerance -> rid 7
+    # lid=2: last right is t+50, 50s gap > 20s tolerance -> null
+    # lid=3: no right row <= t+5 -> null
+    assert out["rid_right"].fillna(-1).tolist() == [7, -1, -1]
