@@ -131,3 +131,49 @@ def test_brute_near_dup_single_scan(spark):
     plan = plan_str(brute_near_dup(emb, threshold=0.4))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_top_tokens_shuffles_counts_not_text(spark):
+    """Heavy hitters must partial-aggregate before the exchange: the
+    shuffle carries (source, token, count), never the raw text, and the
+    aggregation is a partial/final HashAggregate pair."""
+    from stumpy_spark.functions.textfns import top_tokens
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_str(top_tokens(docs, k=10))
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.strip().startswith("(") and "Exchange" in ln:
+            block = "\n".join(lines[i:i + 4])
+            assert "text#" not in block, block
+    assert "partial_count" in plan, plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join plans exactly one key exchange (for the window);
+    no range self-join, no cartesian."""
+    from stumpy_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id", "value")
+    plan = plan_str(asof_join(left, right, key="user_id",
+                              tiebreak="event_id"))
+    n_ex = sum(1 for ln in plan.splitlines()
+               if ln.strip().startswith("(") and "Exchange" in ln)
+    assert n_ex == 1, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bucket_quantiles_domain_bounded_shuffle(tokseq):
+    """The quantile rollup's first exchange carries the histogram
+    (source, bucket, v, partial count) — the tokens payload must never
+    shuffle, and the value-domain groupBy partial-aggregates map-side."""
+    from stumpy_spark.rollup.quantiles import bucket_quantiles
+    plan = plan_str(bucket_quantiles(tokseq))
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.strip().startswith("(") and "Exchange" in ln:
+            block = "\n".join(lines[i:i + 4])
+            assert "tokens#" not in block, block
+    assert "partial_count" in plan, plan
