@@ -52,3 +52,36 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
                  .alias("session_end_us"))
             .select(user_col, "session_start_us", "session_end_us",
                     "n_events", "sum_value"))
+
+
+def streaming_sessionize(stream_df: DataFrame, gap_seconds: int = 1800,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         value_col: str = "value",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of :func:`sessionize`.
+
+    ``session_window`` is natively stateful under Structured Streaming:
+    the watermark bounds session state, late events inside it merge
+    into (or bridge!) existing sessions, and append mode emits a
+    session once the watermark passes its close.  Columns match the
+    batch function exactly — a complete-mode run over the same rows
+    equals batch ``sessionize`` bit-for-bit (asserted in tests).
+    """
+    # watermarks require TIMESTAMP (with-tz); derive one for the window
+    # machinery but keep session bounds from the original column (the
+    # ntz->ltz cast is monotone, so session membership is unchanged)
+    sw = F.session_window(F.col("_evt"), f"{gap_seconds} seconds")
+    us = ("timestampdiff(MICROSECOND, "
+          f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {{agg}}({ts_col}))")
+    return (stream_df
+            .withColumn("_evt", F.col(ts_col).cast("timestamp"))
+            .withWatermark("_evt", watermark)
+            .groupBy(F.col(user_col), sw.alias("_w"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum(value_col), 3).alias("sum_value"),
+                 F.expr(us.format(agg="min")).cast("long")
+                 .alias("session_start_us"),
+                 F.expr(us.format(agg="max")).cast("long")
+                 .alias("session_end_us"))
+            .select(user_col, "session_start_us", "session_end_us",
+                    "n_events", "sum_value"))

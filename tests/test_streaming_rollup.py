@@ -62,3 +62,54 @@ def test_streaming_rollup_equals_batch_with_late_batch(spark, toks,
                                   exp.min_mean.to_numpy())
     # window(event_ts, '1 minute').start == date_trunc('minute', ...)
     assert (got.bucket.to_numpy() == exp.bucket.to_numpy()).all()
+
+
+def test_streaming_sessionize_equals_batch_with_late_batch(spark,
+                                                           tmp_path):
+    """Watermarked streaming session_window over micro-batches equals
+    batch sessionize — including late events that MERGE (or bridge)
+    sessions already formed by the first batch."""
+    import shutil
+    from stumpy_spark.rollup.sessions import sessionize, \
+        streaming_sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("user_id", "ts", "value").cache()
+    ev.count()
+    # every 3rd event arrives late: holes inside sessions, so the
+    # second micro-batch must merge/bridge existing session state
+    is_late = F.pmod(F.xxhash64(F.col("ts").cast("string")),
+                     F.lit(3)) == 0
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def write_batch(df, name):
+        out = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(out))
+        part = next(out.glob("part-*.parquet"))
+        shutil.copy(part, indir / f"{name}.parquet")
+
+    write_batch(ev.where(~is_late), "batch0")
+    time.sleep(1.1)
+    write_batch(ev.where(is_late), "batch1")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(indir)))
+    agg = streaming_sessionize(stream, gap_seconds=1800,
+                               watermark="365 days")
+    q = (agg.writeStream.format("memory").queryName("stream_sess")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (spark.sql("SELECT * FROM stream_sess").toPandas()
+           .sort_values(["user_id", "session_start_us"])
+           .reset_index(drop=True))
+    exp = (sessionize(ev, gap_seconds=1800).toPandas()
+           .sort_values(["user_id", "session_start_us"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in ("user_id", "session_start_us", "session_end_us",
+                "n_events", "sum_value"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
