@@ -64,6 +64,14 @@ injection), mining.cac's ``custom_iac``, mining.match's callable
 parameter (the reference's @non_normalized decorator, core.py:72-152);
 plans.longseq.distributed_matrix_profile(normalize=False) is the aamped
 analog, and its ``k`` parameter the distributed top-k (stumped k>1).
+
+Engine-side pipeline surface (beyond the reference's scope):
+rollup.sessions.sessionize / streaming_sessionize (session_window gap
+sessions, batch + Structured Streaming), rollup.quantiles.
+bucket_quantiles (histogram-exact per-bucket percentiles),
+operators.asof_join (backward as-of join), functions.dedup.
+connected_components / dedup_clusters (duplicate-component labels),
+functions.textfns.top_tokens (exact per-group heavy hitters).
 """
 
 from . import anytime, config, kernels, mining  # noqa: F401
