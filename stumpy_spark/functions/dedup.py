@@ -306,14 +306,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     "one doc per pair" under-deletes — you dedup per component.
 
     Scale design (100 TB):
-    - min-label propagation: each round is ONE shuffle — join the
-      symmetrized edge list with current labels on ``src`` and take the
-      per-``dst`` min (map-side partial min).  Rounds = component
-      diameter; dedup components are near-cliques (diameter 2-3), so
-      this converges in a handful of rounds.  For adversarial
-      long-path graphs, switch to large-star/small-star
-      (Kiveris et al., "Connected Components in MapReduce", SoCC'14)
-      for O(log n) rounds — same join/agg primitives.
+    - min-label propagation + pointer halving, two shuffles per round:
+      (1) join the symmetrized edge list with current labels on ``src``
+      and take the per-``dst`` min (map-side partial min); (2) shortcut
+      each label through its own label (``label(label(i))``, a
+      self-join on the closed label set).  Halving doubles the distance
+      a min label covers per round, so rounds are O(log diameter) even
+      on adversarial path graphs (the same effect as
+      large-star/small-star, Kiveris et al. SoCC'14), while dedup's
+      near-clique components still converge in 2-3 rounds.
     - ``localCheckpoint`` after every round truncates the lineage so
       the plan doesn't deepen with iterations (on a cluster, use a
       reliable ``checkpoint`` dir instead).
@@ -334,10 +335,23 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     for _ in range(max_rounds):
         prop = (edges.join(labels, edges["src"] == labels["id"])
                 .select(F.col("dst").alias("id"), F.col("cluster_id")))
-        labels = (labels.select("id", "cluster_id").union(prop)
-                  .groupBy("id").agg(F.min("cluster_id")
-                                     .alias("cluster_id"))
-                  .localCheckpoint(eager=True))
+        stepped = (labels.select("id", "cluster_id").union(prop)
+                   .groupBy("id").agg(F.min("cluster_id")
+                                      .alias("cluster_id"))
+                   .localCheckpoint(eager=True))
+        # pointer halving: shortcut through label(label(i)).  Labels are
+        # node ids, so the lookup side is the label set itself
+        # (checkpointed above — also breaks self-join ambiguity).
+        lookup = stepped.select(F.col("id").alias("_lid"),
+                                F.col("cluster_id").alias("_lcid"))
+        labels = (stepped.join(lookup,
+                               stepped["cluster_id"] == lookup["_lid"],
+                               "left")
+                  .select(F.col("id"),
+                          F.least(F.col("cluster_id"),
+                                  F.coalesce(F.col("_lcid"),
+                                             F.col("cluster_id")))
+                          .alias("cluster_id")))
         # labels decrease monotonically -> unchanged checksum = fixpoint
         cur = labels.agg(
             F.sum(F.xxhash64("id", "cluster_id").cast("decimal(38,0)"))

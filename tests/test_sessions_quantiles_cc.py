@@ -205,3 +205,23 @@ def test_asof_join_tolerance_and_boundary(spark):
     # lid=2: last right is t+50, 50s gap > 20s tolerance -> null
     # lid=3: no right row <= t+5 -> null
     assert out["rid_right"].fillna(-1).tolist() == [7, -1, -1]
+
+
+def test_connected_components_random_graphs(spark):
+    """Randomized adversarial graphs (long paths + dense blobs) vs the
+    union-find oracle — exercises multi-round convergence."""
+    import numpy as np
+    rs = np.random.RandomState(7)
+    for trial in range(3):
+        n = 40
+        # a long path (worst-case diameter) + random extra edges
+        path = [(i, i + 1) for i in range(n - 1)]
+        extra = [(int(rs.randint(n)), int(rs.randint(n)))
+                 for _ in range(10)]
+        edges = [(a, b) for a, b in path + extra if a != b]
+        pairs = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["id_a", "id_b"]))
+        got = {r["id"]: r["cluster_id"]
+               for r in dedup.connected_components(pairs).collect()}
+        nodes = sorted({x for e in edges for x in e})
+        assert got == _uf_components(edges, nodes), trial
