@@ -380,3 +380,32 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
              .agg(F.count("*").alias("cluster_size")))
     return assigned.join(sizes, "cluster_id").select(
         id_col, "cluster_id", "cluster_size")
+
+
+def streaming_dedup_exact(stream_df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          ts_col: str | None = None,
+                          watermark: str | None = None) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each
+    text hash across micro-batches.
+
+    Spark-native ``dropDuplicates`` keeps per-key state in the state
+    store; with ``ts_col`` + ``watermark`` the state is bounded (a
+    duplicate arriving after the watermark passes its first
+    occurrence's event time is re-emitted — the standard
+    bounded-memory tradeoff, document per retention window).  Without a
+    watermark, state grows with the distinct-hash count: one 16-byte
+    md5 per unique doc, the streaming twin of :func:`dedup_exact`'s
+    keep-min-id batch contract (streaming keeps first-SEEN instead —
+    arrival order replaces id order as the tiebreak).
+
+    Only the hash enters the state store — raw text never does.
+    """
+    out = stream_df.withColumn(
+        "_h", F.md5(F.col(text_col).cast("binary")))
+    if watermark is not None and ts_col is not None:
+        # dropDuplicatesWithinWatermark evicts a hash's state once the
+        # watermark passes its first occurrence — bounded state
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicatesWithinWatermark(["_h"]).drop("_h")
+    return out.dropDuplicates(["_h"]).drop("_h")

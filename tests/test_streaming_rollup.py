@@ -113,3 +113,42 @@ def test_streaming_sessionize_equals_batch_with_late_batch(spark,
     for col in ("user_id", "session_start_us", "session_end_us",
                 "n_events", "sum_value"):
         assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+def test_streaming_dedup_exact_first_occurrence(spark, tmp_path):
+    """Streaming exact dedup emits exactly one row per distinct text
+    across micro-batches — cross-batch duplicates are suppressed by the
+    state store, and the survivor is the first-arriving occurrence."""
+    import shutil
+    from stumpy_spark.functions.dedup import streaming_dedup_exact
+
+    pdf0 = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["aa bb", "cc dd", "aa bb"]})
+    pdf1 = pd.DataFrame({"doc_id": [4, 5],
+                         "text": ["aa bb", "ee ff"]})  # 4 is a cross-batch dup
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for name, pdf in (("b0", pdf0), ("b1", pdf1)):
+        out = tmp_path / f"stage_{name}"
+        spark.createDataFrame(pdf).coalesce(1).write \
+            .mode("overwrite").parquet(str(out))
+        shutil.copy(next(out.glob("part-*.parquet")),
+                    indir / f"{name}.parquet")
+        time.sleep(1.1)
+
+    schema = spark.createDataFrame(pdf0).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(indir)))
+    q = (streaming_dedup_exact(stream).writeStream
+         .format("memory").queryName("stream_dedup")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (spark.sql("SELECT * FROM stream_dedup").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # one row per distinct text; within-batch dup 3 and cross-batch dup 4
+    # both suppressed
+    assert sorted(got["text"]) == ["aa bb", "cc dd", "ee ff"]
+    assert set(got["doc_id"]) == {1, 2, 5}
