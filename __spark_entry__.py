@@ -2093,6 +2093,19 @@ def _q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("view_ts_us"))
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) over documents
+    via the cross-engine-checkable mcg bucket — a pure Catalyst filter
+    expression, zero shuffle, stable across re-runs and cluster sizes;
+    the oracle recomputes the identical bucket arithmetic in SQL."""
+    from stumpy_spark.functions.splits import hash_split
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+                       method="mcg", salt=17)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "split"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": _rollup("1m"),
     "rollup_1h": _rollup("1h"),
@@ -2158,6 +2171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_quantiles_1d": _q_token_quantiles_1d,
     "top_tokens_k10": _q_top_tokens_k10,
     "asof_last_view": _q_asof_last_view,
+    "hash_split_90_5_5": _q_hash_split,
 }
 
 
@@ -3123,6 +3137,15 @@ r AS (
 )
 SELECT source, token, n::BIGINT AS n, rank::BIGINT AS rank
 FROM r WHERE rank <= 10
+"""
+    out["hash_split_90_5_5"] = """
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN ((doc_id % 10000) * 7919 + 17) % 10000 < 9000
+              THEN 'train'
+            WHEN ((doc_id % 10000) * 7919 + 17) % 10000 < 9500
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """
     out["asof_last_view"] = """
 WITH p AS (

@@ -225,3 +225,31 @@ def test_connected_components_random_graphs(spark):
                for r in dedup.connected_components(pairs).collect()}
         nodes = sorted({x for e in edges for x in e})
         assert got == _uf_components(edges, nodes), trial
+
+
+# ---------------------------------------------------------------------------
+# deterministic splits
+# ---------------------------------------------------------------------------
+
+def test_hash_split_deterministic_and_stable(spark):
+    from stumpy_spark.functions.splits import (hash_split,
+                                               deterministic_sample)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, w).select("doc_id", "split").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = hash_split(docs, w).select("doc_id", "split").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] == b["split"]).all()          # re-run stable
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9                 # ~proportional
+    # growing a split keeps previously-assigned rows (prefix property)
+    w2 = {"train": 0.9, "val": 0.05, "test": 0.05}
+    c = hash_split(docs, w2).select("doc_id", "split").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    was_train = a["split"] == "train"
+    assert (c.loc[was_train.values, "split"] == "train").all()
+    # deterministic_sample == the bucket filter it claims to be
+    s1 = set(deterministic_sample(docs, 0.25).toPandas()["doc_id"])
+    s2 = set(deterministic_sample(docs, 0.5).toPandas()["doc_id"])
+    assert s1 <= s2                                  # nested samples
