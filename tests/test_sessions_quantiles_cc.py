@@ -6,7 +6,6 @@ from collections import Counter
 from datetime import datetime, timedelta
 
 import pandas as pd
-import pytest
 
 from pyspark.sql import functions as F
 
