@@ -2106,6 +2106,42 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "split"))
 
 
+def _q_rollup_discord_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier composition — the engine's canonical anomaly query: build
+    the 1h rollup, treat each source's hourly n_seq sequence (ordered
+    observed buckets) as a series, matrix-profile it (z-norm, m=8) and
+    report the top discord (max profile value, ties to the smaller
+    index).  Exercises cascade -> series pivot -> MP kernel end-to-end;
+    the oracle recomputes the whole chain in SQL with the bit-exact
+    m=8 integer scheme (hourly counts are exact ints)."""
+    from pyspark.sql import Window
+    from stumpy_spark.rollup import tiers as RT
+    from stumpy_spark.operators import stump
+    raw = RT.per_sequence_stats_fused(_tokseq(spark, sf_dir),
+                                      m=M_DEFAULT)
+    t1h = RT.rollup_tier(raw, "1h")
+    series = (t1h.groupBy("source")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("bucket", "n_seq"))).alias("sb"))
+              .select(F.col("source").alias("doc_id"),
+                      F.transform(
+                          "sb", lambda s: s["n_seq"].cast("long"))
+                      .alias("tokens")))
+    # positional rename: the profile schema has both `i` and `I`, which
+    # collide under Spark's default case-insensitive resolution
+    prof = stump(series, 8).toDF("doc_id", "win_i", "P", "nn_I",
+                                 "IL", "IR")
+    w = Window.partitionBy("source").orderBy(F.col("_p").desc(),
+                                             F.col("win_i").asc())
+    return (prof.select(F.col("doc_id").alias("source"), "win_i",
+                        F.col("P")[0].alias("_p"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("source",
+                    F.col("win_i").cast("long").alias("discord_pos"),
+                    F.col("_p").alias("discord_p")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": _rollup("1m"),
     "rollup_1h": _rollup("1h"),
@@ -2172,6 +2208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_k10": _q_top_tokens_k10,
     "asof_last_view": _q_asof_last_view,
     "hash_split_90_5_5": _q_hash_split,
+    "rollup_discord_1h": _q_rollup_discord_1h,
 }
 
 
@@ -3146,6 +3183,73 @@ SELECT doc_id::BIGINT AS doc_id,
               THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+"""
+    out["rollup_discord_1h"] = f"""
+WITH {_PERDOC_CTE.format(glob=glob, m=M_DEFAULT,
+                         m_minus_1=M_DEFAULT - 1)},
+hourly AS (
+    SELECT source, date_trunc('hour', event_ts) AS bucket,
+           COUNT(*) AS n_seq
+    FROM perdoc GROUP BY 1, 2
+),
+ser AS (
+    SELECT source,
+           row_number() OVER (PARTITION BY source ORDER BY bucket) - 1
+               AS pos,
+           CAST(n_seq AS BIGINT) AS t
+    FROM hourly
+),
+ok AS (SELECT source FROM ser GROUP BY source HAVING COUNT(*) >= 16),
+sw AS (
+    SELECT s.source, s.pos, s.t AS t0,
+           lead(s.t, 1) OVER dw AS t1, lead(s.t, 2) OVER dw AS t2,
+           lead(s.t, 3) OVER dw AS t3, lead(s.t, 4) OVER dw AS t4,
+           lead(s.t, 5) OVER dw AS t5, lead(s.t, 6) OVER dw AS t6,
+           lead(s.t, 7) OVER dw AS t7
+    FROM ser s JOIN ok USING (source)
+    WINDOW dw AS (PARTITION BY s.source ORDER BY s.pos)
+),
+wf AS (
+    SELECT source, pos, t0, t1, t2, t3, t4, t5, t6, t7,
+           (t0+t1+t2+t3+t4+t5+t6+t7) AS ws,
+           (t0*t0+t1*t1+t2*t2+t3*t3+t4*t4+t5*t5+t6*t6+t7*t7) AS ws2
+    FROM sw WHERE t7 IS NOT NULL
+),
+stats AS (
+    SELECT *, CAST(ws AS DOUBLE)/8 AS mu,
+           sqrt(greatest(CAST(ws2 AS DOUBLE)/8
+                - (CAST(ws AS DOUBLE)/8)*(CAST(ws AS DOUBLE)/8), 0.0))
+               AS sig
+    FROM wf
+),
+pairs AS (
+    SELECT a.source, a.pos AS i,
+           CAST(a.t0*b.t0 + a.t1*b.t1 + a.t2*b.t2 + a.t3*b.t3
+              + a.t4*b.t4 + a.t5*b.t5 + a.t6*b.t6 + a.t7*b.t7
+              AS DOUBLE) AS qt,
+           a.mu AS mu_a, b.mu AS mu_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM stats a JOIN stats b
+      ON a.source = b.source AND abs(a.pos - b.pos) > 2
+),
+dists AS (
+    SELECT source, i,
+           sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+    FROM (
+        SELECT source, i,
+               CASE WHEN sig_a = 0 AND sig_b = 0 THEN 0.0
+                    WHEN sig_a = 0 OR sig_b = 0 THEN 8.0
+                    ELSE abs((least((qt - (8*mu_a)*mu_b)
+                         / greatest((8*sig_a)*sig_b, 1e-14), 1.0)
+                         - 1.0) * -16.0) END AS d2
+        FROM pairs)
+),
+prof AS (SELECT source, i, MIN(d) AS p FROM dists GROUP BY source, i)
+SELECT source, i::BIGINT AS discord_pos, p AS discord_p
+FROM (SELECT source, i, p,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY p DESC, i ASC) AS rk
+      FROM prof)
+WHERE rk = 1
 """
     out["asof_last_view"] = """
 WITH p AS (
