@@ -351,7 +351,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
                           F.least(F.col("cluster_id"),
                                   F.coalesce(F.col("_lcid"),
                                              F.col("cluster_id")))
-                          .alias("cluster_id")))
+                          .alias("cluster_id"))
+                  # materialize: consumed 3x (checksum action, next
+                  # round's prop join, next round's union) — without
+                  # this the halving join recomputes each time
+                  .localCheckpoint(eager=True))
         # labels decrease monotonically -> unchanged checksum = fixpoint
         cur = labels.agg(
             F.sum(F.xxhash64("id", "cluster_id").cast("decimal(38,0)"))
@@ -401,6 +405,10 @@ def streaming_dedup_exact(stream_df: DataFrame, text_col: str = "text",
 
     Only the hash enters the state store — raw text never does.
     """
+    if (watermark is None) != (ts_col is None):
+        raise ValueError("watermark and ts_col must be given together "
+                         "(a watermark without an event-time column "
+                         "would silently fall back to unbounded state)")
     out = stream_df.withColumn(
         "_h", F.md5(F.col(text_col).cast("binary")))
     if watermark is not None and ts_col is not None:

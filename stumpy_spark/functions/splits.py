@@ -51,9 +51,14 @@ def hash_split(df: DataFrame, weights: dict[str, float],
     row's previous assignment stable where ranges overlap (the standard
     hash-partitioned holdout property).
     """
+    if not weights:
+        raise ValueError("weights must name at least one split")
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError("weights sum to > 1")
+    # NOTE: any remainder (1 - total) goes to the LAST split; for a
+    # fractional subset with nothing assigned to the rest, use
+    # deterministic_sample instead.
     b = split_bucket(F.col(id_col), method=method, salt=salt)
     expr = None
     acc = 0.0

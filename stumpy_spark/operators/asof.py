@@ -73,10 +73,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         u = u.withColumn(p, F.last(p, ignorenulls=True).over(w))
     out = u.where(F.col("_side") == 1).drop("_side")
     if tolerance_us is not None:
-        in_tol = (F.col(ts_r).isNotNull() &
-                  (F.unix_micros(F.col(ts_col).cast("timestamp")) -
-                   F.unix_micros(F.col(ts_r).cast("timestamp"))
-                   <= F.lit(tolerance_us)))
+        # timestampdiff is type-correct for both TIMESTAMP and
+        # TIMESTAMP_NTZ inputs (an ntz->ltz cast would reinterpret wall
+        # clock in the session tz — not gap-preserving across DST)
+        gap = F.expr(
+            f"timestampdiff(MICROSECOND, {ts_r}, {ts_col})")
+        in_tol = F.col(ts_r).isNotNull() & (gap <= F.lit(tolerance_us))
         for p in payload + [ts_r]:
             out = out.withColumn(p, F.when(in_tol, F.col(p)))
     return out

@@ -25,8 +25,30 @@ only ``> gap_seconds`` starts a new one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def epoch_us(col_sql: str) -> Column:
+    """Exact integer epoch-microseconds of a TIMESTAMP_NTZ expression,
+    timezone-independent (never routes through an ntz->ltz cast, whose
+    wall-clock reinterpretation is not gap-preserving across DST in a
+    non-UTC session timezone)."""
+    return F.expr("timestampdiff(MICROSECOND, "
+                  f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_sql})") \
+        .cast("long")
+
+
+def _session_aggs(ts_col: str, value_col: str) -> list[Column]:
+    """The shared batch/streaming session aggregate contract."""
+    return [
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(value_col), 3).alias("sum_value"),
+        epoch_us(f"min({ts_col})").alias("session_start_us"),
+        epoch_us(f"max({ts_col})").alias("session_end_us"),
+    ]
+
+_OUT = ["session_start_us", "session_end_us", "n_events", "sum_value"]
 
 
 def sessionize(events: DataFrame, gap_seconds: int = 1800,
@@ -40,18 +62,10 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
     across engines, unlike string-formatted or float-second stamps).
     """
     sw = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
-    us = ("timestampdiff(MICROSECOND, "
-          f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {{agg}}({ts_col}))")
     return (events
             .groupBy(F.col(user_col), sw.alias("_w"))
-            .agg(F.count("*").cast("long").alias("n_events"),
-                 F.round(F.sum(value_col), 3).alias("sum_value"),
-                 F.expr(us.format(agg="min")).cast("long")
-                 .alias("session_start_us"),
-                 F.expr(us.format(agg="max")).cast("long")
-                 .alias("session_end_us"))
-            .select(user_col, "session_start_us", "session_end_us",
-                    "n_events", "sum_value"))
+            .agg(*_session_aggs(ts_col, value_col))
+            .select(user_col, *_OUT))
 
 
 def streaming_sessionize(stream_df: DataFrame, gap_seconds: int = 1800,
@@ -67,21 +81,14 @@ def streaming_sessionize(stream_df: DataFrame, gap_seconds: int = 1800,
     batch function exactly — a complete-mode run over the same rows
     equals batch ``sessionize`` bit-for-bit (asserted in tests).
     """
-    # watermarks require TIMESTAMP (with-tz); derive one for the window
-    # machinery but keep session bounds from the original column (the
-    # ntz->ltz cast is monotone, so session membership is unchanged)
+    # watermarks require TIMESTAMP (with-tz); build the instant from
+    # epoch-micros, NOT an ntz->ltz cast — the cast reinterprets wall
+    # clock in the session timezone, which is not gap-preserving across
+    # DST transitions and would break batch/streaming session parity
     sw = F.session_window(F.col("_evt"), f"{gap_seconds} seconds")
-    us = ("timestampdiff(MICROSECOND, "
-          f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {{agg}}({ts_col}))")
     return (stream_df
-            .withColumn("_evt", F.col(ts_col).cast("timestamp"))
+            .withColumn("_evt", F.timestamp_micros(epoch_us(ts_col)))
             .withWatermark("_evt", watermark)
             .groupBy(F.col(user_col), sw.alias("_w"))
-            .agg(F.count("*").cast("long").alias("n_events"),
-                 F.round(F.sum(value_col), 3).alias("sum_value"),
-                 F.expr(us.format(agg="min")).cast("long")
-                 .alias("session_start_us"),
-                 F.expr(us.format(agg="max")).cast("long")
-                 .alias("session_end_us"))
-            .select(user_col, "session_start_us", "session_end_us",
-                    "n_events", "sum_value"))
+            .agg(*_session_aggs(ts_col, value_col))
+            .select(user_col, *_OUT))

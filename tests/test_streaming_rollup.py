@@ -152,3 +152,48 @@ def test_streaming_dedup_exact_first_occurrence(spark, tmp_path):
     # both suppressed
     assert sorted(got["text"]) == ["aa bb", "cc dd", "ee ff"]
     assert set(got["doc_id"]) == {1, 2, 5}
+
+
+def test_streaming_sessionize_dst_safe(spark, tmp_path):
+    """Batch/streaming session parity must hold under a non-UTC session
+    timezone across a DST transition: the streaming watermark column is
+    built from epoch-micros, never an ntz->ltz wall-clock cast (which
+    stretches the 2025-11-02 01:45 -> 02:10 NTZ gap from 25 to 85
+    minutes in America/New_York and would split the session)."""
+    import shutil
+    from datetime import datetime
+    from stumpy_spark.rollup.sessions import sessionize, \
+        streaming_sessionize
+
+    pdf = pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": [datetime(2025, 11, 2, 1, 45, 0),
+               datetime(2025, 11, 2, 2, 10, 0)],
+        "value": [1.0, 2.0]})
+    ev = spark.createDataFrame(pdf)
+    indir = tmp_path / "in_dst"
+    indir.mkdir()
+    out = tmp_path / "stage_dst"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(out))
+    shutil.copy(next(out.glob("part-*.parquet")), indir / "b0.parquet")
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(indir)))
+        agg = streaming_sessionize(stream, gap_seconds=1800,
+                                   watermark="365 days")
+        q = (agg.writeStream.format("memory").queryName("stream_dst")
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "ckpt_dst"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.sql("SELECT * FROM stream_dst").toPandas()
+        exp = sessionize(ev, gap_seconds=1800).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert len(exp) == 1        # batch: one 25-min session
+    assert len(got) == 1        # streaming must agree under NY tz
+    assert (got.sort_index(axis=1).values ==
+            exp.sort_index(axis=1).values).all()
