@@ -2142,6 +2142,34 @@ def _q_rollup_discord_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_p").alias("discord_p")))
 
 
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/phones/IPv4 -> [PII]) as a pure Catalyst
+    regexp_replace chain, with per-doc redaction counts; the oracle
+    replays the same RE2-compatible patterns in DuckDB.  The synthetic
+    docs contain no PII, so every 3rd doc gets a deterministic planted
+    email+IP suffix (same expression in both engines) — the compare
+    then checks real replacement semantics, not just the no-op path.
+    Output hashes the redacted text (md5) so the whole scrubbed payload
+    is value-checked without shipping megabytes through the compare."""
+    from stumpy_spark.functions.textfns import redact_pii
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" contact: user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com ip 10.0.0."),
+                        F.pmod(F.col("doc_id"), F.lit(256))
+                        .cast("string")))
+        .otherwise(F.col("text")))
+    red = redact_pii(planted)
+    return red.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("text").cast("binary")).alias("redacted_md5"),
+        F.col("n_redactions"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": _rollup("1m"),
     "rollup_1h": _rollup("1h"),
@@ -2209,6 +2237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_view": _q_asof_last_view,
     "hash_split_90_5_5": _q_hash_split,
     "rollup_discord_1h": _q_rollup_discord_1h,
+    "redact_pii": _q_redact_pii,
 }
 
 
@@ -3250,6 +3279,47 @@ FROM (SELECT source, i, p,
                                 ORDER BY p DESC, i ASC) AS rk
       FROM prof)
 WHERE rk = 1
+"""
+    out["redact_pii"] = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com ip 10.0.0.'
+                   || CAST(doc_id % 256 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS m1,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '[PII]', 'g') AS t1
+  FROM planted
+),
+r2 AS (
+  SELECT doc_id, m1,
+         regexp_extract_all(t1,
+           '\+?[0-9][0-9()\- ]{7,}[0-9]') AS m2,
+         regexp_replace(t1, '\+?[0-9][0-9()\- ]{7,}[0-9]',
+                        '[PII]', 'g') AS t2
+  FROM r1
+),
+r3 AS (
+  SELECT doc_id, m1, m2,
+         regexp_extract_all(t2,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b') AS m3,
+         regexp_replace(t2,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           '[PII]', 'g') AS t3
+  FROM r2
+)
+SELECT doc_id::BIGINT AS doc_id,
+       md5(t3) AS redacted_md5,
+       (len(m1) + len(m2) + len(m3))::BIGINT AS n_redactions
+FROM r3
 """
     out["asof_last_view"] = """
 WITH p AS (

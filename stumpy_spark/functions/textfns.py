@@ -130,3 +130,36 @@ def top_tokens(df: DataFrame, k: int = 10, by: str = "source",
             .where(F.col("rank") <= k)
             .select(by, "token", F.col("n").cast("long").alias("n"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+# PII patterns restricted to the regex subset with identical semantics
+# in Java (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+               token: str = "[PII]") -> DataFrame:
+    """Scrub PII-looking spans from a text column, pure Catalyst.
+
+    A chain of ``regexp_replace`` expressions (whole-stage codegen, no
+    Python) replaces each matched span with ``token``; ``n_redactions``
+    sums a ``regexp_count`` per kind so the observability tier can
+    monitor redaction rates per source.  Each kind is counted against
+    the text as already redacted by the kinds before it — the order
+    (emails, then phones, then IPs) keeps the phone pattern from
+    eating an address's digit runs.
+    """
+    out = df
+    total = F.lit(0).cast("long")
+    redacted = F.col(text_col)
+    for kind in kinds:
+        pat = _PII_PATTERNS[kind]
+        total = total + F.regexp_count(redacted, F.lit(pat)).cast("long")
+        redacted = F.regexp_replace(redacted, pat, token)
+    return (out.withColumn("n_redactions", total)
+            .withColumn(text_col, redacted))

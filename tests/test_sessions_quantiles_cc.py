@@ -252,3 +252,25 @@ def test_hash_split_deterministic_and_stable(spark):
     s1 = set(deterministic_sample(docs, 0.25).toPandas()["doc_id"])
     s2 = set(deterministic_sample(docs, 0.5).toPandas()["doc_id"])
     assert s1 <= s2                                  # nested samples
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_planted(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail me at john.doe+spam@sub.example.co.uk today",
+            "call +1 (555) 123-4567 or 555 987 6543 now",
+            "server at 192.168.0.1 and 10.0.0.255 up",
+            "nothing sensitive here",
+        ]})
+    out = textfns.redact_pii(spark.createDataFrame(pdf)) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_redactions"]) == [1, 2, 2, 0]
+    assert out.loc[0, "text"] == "mail me at [PII] today"
+    assert out.loc[1, "text"] == "call [PII] or [PII] now"
+    assert out.loc[2, "text"] == "server at [PII] and [PII] up"
+    assert out.loc[3, "text"] == "nothing sensitive here"
