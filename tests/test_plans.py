@@ -177,3 +177,13 @@ def test_bucket_quantiles_domain_bounded_shuffle(tokseq):
             block = "\n".join(lines[i:i + 4])
             assert "tokens#" not in block, block
     assert "partial_count" in plan, plan
+
+
+def test_redact_pii_zero_shuffle(spark):
+    """PII redaction is a narrow transform: regexp chain + counts must
+    plan with no Exchange and reach the scan with only the needed
+    columns."""
+    from stumpy_spark.functions.textfns import redact_pii
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_str(redact_pii(docs).select("doc_id", "n_redactions"))
+    assert "Exchange" not in plan, plan
