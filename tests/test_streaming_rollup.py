@@ -197,3 +197,50 @@ def test_streaming_sessionize_dst_safe(spark, tmp_path):
     assert len(got) == 1        # streaming must agree under NY tz
     assert (got.sort_index(axis=1).values ==
             exp.sort_index(axis=1).values).all()
+
+
+def test_streaming_histogram_quantiles_equal_batch(spark, toks,
+                                                   tmp_path):
+    """The watermarked streaming value-histogram over micro-batches,
+    finished with the shared quantile stage, equals batch
+    bucket_quantiles — including late rows that re-aggregate existing
+    (bucket, value) cells."""
+    import shutil
+    from stumpy_spark.rollup.quantiles import (bucket_quantiles,
+                                               quantiles_from_hist,
+                                               streaming_value_histogram)
+
+    ev = toks.select("source", "event_ts", "n_tok")
+    is_late = F.pmod(F.xxhash64("event_ts"), F.lit(3)) == 0
+    indir = tmp_path / "in_hist"
+    indir.mkdir()
+
+    def write_batch(df, name):
+        out = tmp_path / f"stage_h_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(out))
+        shutil.copy(next(out.glob("part-*.parquet")),
+                    indir / f"{name}.parquet")
+
+    write_batch(ev.where(~is_late), "b0")
+    time.sleep(1.1)
+    write_batch(ev.where(is_late), "b1")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(indir)))
+    hist = streaming_value_histogram(stream, tier="1d",
+                                     watermark="365 days")
+    q = (hist.writeStream.format("memory").queryName("stream_hist")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (quantiles_from_hist(spark.sql("SELECT * FROM stream_hist"))
+           .toPandas().sort_values(["source", "bucket"])
+           .reset_index(drop=True))
+    exp = (bucket_quantiles(toks, tier="1d").toPandas()
+           .sort_values(["source", "bucket"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in ("source", "q50", "q95", "q99"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    assert (got["bucket"].to_numpy() == exp["bucket"].to_numpy()).all()
