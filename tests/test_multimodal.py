@@ -1,4 +1,4 @@
-"""Multimodal plumbing tests (real Spark flow, stubbed codecs)."""
+"""Multimodal tests: real Spark flow, real PNG/WAV codecs, video stub."""
 
 import numpy as np
 import pytest
@@ -13,11 +13,34 @@ def media(spark):
     return df
 
 
-def test_decode_stub_raises_without_fake(spark, media):
-    with pytest.raises(Exception) as exc:
-        MM.decode_features(media, fake=False).count()
-    assert "NotImplementedError" in str(exc.value) or \
-        isinstance(exc.value, NotImplementedError)
+def test_real_decode_png_wav_video(spark, media):
+    pdf = MM.decode_features(media, fake=False).toPandas()
+    by_mime = pdf.groupby("mime").decode_ok.all()
+    assert by_mime["image/png"] and by_mime["audio/wav"]
+    # video has no codec in this container: decode_ok=False, null feature
+    vid = pdf[pdf.mime == "video/mp4"]
+    assert (~vid.decode_ok).all() and vid.feature.isna().all()
+    decoded = pdf[pdf.decode_ok]
+    assert all(len(f) == 64 for f in decoded.feature)
+    assert all(np.isfinite(np.asarray(f, dtype=float)).all()
+               for f in decoded.feature)
+
+
+def test_decode_meta_matches_ground_truth(spark, media):
+    """decode(blob) must reproduce the pre-encode pixel/sample sums the
+    fixture stored — end-to-end codec verification."""
+    truth = media.select("media_id", "mime", "width", "height",
+                         "px_sum", "n_samples", "sample_sum").toPandas()
+    dec = MM.decode_meta(media).toPandas()
+    j = truth.merge(dec, on=["media_id", "mime"])
+    png = j[j.mime == "image/png"]
+    assert (png.dec_width == png.width).all()
+    assert (png.dec_height == png.height).all()
+    assert (png.dec_px_sum == png.px_sum).all()
+    wav = j[j.mime == "audio/wav"]
+    assert (wav.dec_n_samples == wav.n_samples).all()
+    assert (wav.dec_sample_sum == wav.sample_sum).all()
+    assert (~j[j.mime == "video/mp4"].decode_ok).all()
 
 
 def test_fake_decode_deterministic(spark, media):
@@ -65,13 +88,14 @@ def test_resize_images_fake_deterministic(spark):
     assert all(bytes(x) == bytes(y) for x, y in zip(a.blob, b.blob))
 
 
-def test_resize_images_stub_raises(spark):
-    import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
+def test_resize_images_real(spark):
+    from stumpy_spark.functions.codecs import png_decode
     from stumpy_spark.functions.multimodal import (resize_images,
                                                    synthetic_media_df)
-    df = synthetic_media_df(spark, 6)
-    with _pytest.raises(Exception) as exc:
-        resize_images(df, 64, 64).toPandas()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, Py4JJavaError)
+    df = synthetic_media_df(spark, 9)
+    out = resize_images(df, 24, 12, fake=False).toPandas()
+    assert len(out) == df.where("mime like 'image/%'").count()
+    assert (out.width == 24).all() and (out.height == 12).all()
+    for blob in out.blob:
+        arr = png_decode(bytes(blob))
+        assert arr.shape[:2] == (12, 24)
