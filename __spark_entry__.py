@@ -1959,10 +1959,22 @@ def _ann_recall_query(spark: SparkSession, sf_dir: str, pairs: DataFrame,
     # write-once (the simhash-fixture pattern): the candidate set is
     # deterministic, and re-writing would churn the committed fixture
     # with fresh UUID part-file names on every run
+    fresh = pairs.select("query_id", "cand_id")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        pairs.select("query_id", "cand_id").write.mode("overwrite") \
-            .parquet(path)
+        fresh.write.mode("overwrite").parquet(path)
     cand = spark.read.parquet(path)
+    # drift guard: both engines rerank the frozen fixture, so a silent
+    # regression in candidate generation would otherwise be invisible to
+    # the oracle gate — recompute the set every run and fail loudly if
+    # it no longer matches the committed fixture (tiny set; cheap)
+    n_extra = fresh.exceptAll(cand).count()
+    n_missing = cand.exceptAll(fresh).count()
+    if n_extra or n_missing:
+        raise RuntimeError(
+            f"ANN candidate set drifted from the committed fixture at "
+            f"{path} (+{n_extra}/-{n_missing} pairs). If the candidate-"
+            f"generation change is intentional, delete the fixture dir "
+            f"to regenerate it.")
     scored = (cand
               .join(emb.select(F.col("vec_id").alias("query_id"),
                                F.col("embedding").alias("qv")), "query_id")
@@ -2090,8 +2102,14 @@ def _q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     purchases = (ev.where(F.col("event_type") == "purchase")
                  .select("user_id", "ts", "event_id"))
+    # pre-dedupe duplicate view timestamps per user to the max event_id:
+    # DuckDB's ASOF JOIN leaves the pick among equal-ts right rows
+    # unspecified, so both engines must see a unique (user_id, ts) side
     views = (ev.where(F.col("event_type") == "view")
-             .select("user_id", "ts", "event_id", "value"))
+             .groupBy("user_id", "ts")
+             .agg(F.max(F.struct("event_id", "value")).alias("_s"))
+             .select("user_id", "ts", F.col("_s.event_id").alias(
+                 "event_id"), F.col("_s.value").alias("value")))
     j = asof_join(purchases, views, key="user_id", ts_col="ts",
                   tiebreak="event_id")
     us = ("timestampdiff(MICROSECOND, "
@@ -3445,8 +3463,12 @@ WITH p AS (
   WHERE event_type = 'purchase'
 ),
 v AS (
-  SELECT user_id, ts, event_id, value FROM events
-  WHERE event_type = 'view'
+  -- deduped to max(event_id) per (user_id, ts): ASOF's pick among
+  -- equal-ts rows is unspecified, mirrored on the Spark side
+  SELECT user_id, ts, max(event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
 )
 SELECT p.event_id::BIGINT AS event_id,
        p.user_id::BIGINT AS user_id,

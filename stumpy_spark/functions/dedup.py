@@ -138,7 +138,7 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 def ngram_dedup_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
     Unlike :func:`minhash_dedup_pairs` (probabilistic candidate
@@ -147,10 +147,11 @@ def ngram_dedup_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
     exact by construction and the whole pipeline is two shuffles
     (shingle groupBy + pair groupBy), all JVM-side.
 
-    Scale knob: ``max_df`` drops shingles occurring in more than that
-    many documents from *candidate generation* (the standard
-    stop-shingle cap) — without it one boilerplate k-gram shared by 1M
-    docs turns the self-join into a 10^12-row hot key.  Reported
+    Scale knob: ``max_df`` (default 1000) drops shingles occurring in
+    more than that many documents from *candidate generation* (the
+    standard stop-shingle cap) — without it one boilerplate k-gram
+    shared by 1M docs turns the self-join into a 10^12-row hot key;
+    pass ``max_df=None`` explicitly to opt out at small scale.  Reported
     Jaccard values are always exact (the verify step recomputes the
     intersection over the full shingle sets); only pairs whose *every*
     common shingle is above the cap can be missed — boilerplate-only
@@ -363,6 +364,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        # never hit the fixpoint within max_rounds: pointer halving
+        # converges in O(log n) rounds, so 50 covers any graph up to
+        # ~2^50 nodes — exhausting it means the labeling is incomplete
+        # and must not be returned silently
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds (label checksum still changing); component labels "
+            f"would be incorrect. Raise max_rounds.")
     return labels
 
 

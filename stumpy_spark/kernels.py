@@ -806,11 +806,7 @@ def matrix_profile(
             I[rows, 0] = np.where(np.isfinite(D[r, j]), j, -1)
         else:
             kk = min(k, lb)
-            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-            vals = D[r[:, None], part]
-            order = np.argsort(vals, axis=1, kind="stable")
-            vals = np.take_along_axis(vals, order, axis=1)
-            idxs = np.take_along_axis(part, order, axis=1)
+            vals, idxs = topk_tie_aware(D, kk)
             P[rows, :kk] = vals
             I[rows, :kk] = np.where(np.isfinite(vals), idxs, -1)
     if return_left_right_P:
@@ -984,15 +980,48 @@ def matrix_profile_absolute(
             P[rows, 0] = D[r, j]
             I[rows, 0] = np.where(np.isfinite(D[r, j]), j, -1)
         else:
-            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-            r = np.arange(stop - start)[:, None]
-            vals = D[r, part]
-            order = np.argsort(vals, axis=1, kind="stable")
-            vals = np.take_along_axis(vals, order, axis=1)
-            idxs = np.take_along_axis(part, order, axis=1)
+            vals, idxs = topk_tie_aware(D, kk)
             P[rows, :kk] = vals
             I[rows, :kk] = np.where(np.isfinite(vals), idxs, -1)
     return P, I, IL, IR
+
+
+def topk_tie_aware(D: np.ndarray, kk: int):
+    """Per-row ``kk`` smallest entries of ``D`` with exact ties at the
+    k-th boundary broken toward the smaller column index.
+
+    ``argpartition`` alone keeps an *arbitrary* subset of exactly-tied
+    values at the boundary, so a tied smaller-j candidate can be dropped
+    before any later (value, j) sort — visible with constant windows,
+    where many distances are exactly 0 (the reference's ascending-j scan
+    keeps earlier columns, core.py:3325-3516 merge rule).  This selector
+    is O(nr*nc): threshold at the per-row k-th smallest value, keep all
+    strictly-smaller entries plus the smallest-j tied ones via an
+    ascending-j cumulative count.  Returns ``(vals, cols)`` sorted by
+    (value, col) per row; rows with fewer than ``kk`` comparable entries
+    are padded with ``(inf, -1)``.
+    """
+    nr, nc = D.shape
+    if kk >= nc:
+        order = np.argsort(D, axis=1, kind="stable")
+        vals = np.take_along_axis(D, order, axis=1)
+        return vals, order.astype(np.int64)
+    kth = np.partition(D, kk - 1, axis=1)[:, kk - 1:kk]
+    lt = D < kth
+    eq = D == kth
+    n_lt = lt.sum(axis=1, keepdims=True)
+    keep = lt | (eq & (np.cumsum(eq, axis=1) <= kk - n_lt))
+    r_idx, c_idx = np.nonzero(keep)
+    pos = (np.cumsum(keep, axis=1) - 1)[r_idx, c_idx]
+    vals = np.full((nr, kk), np.inf)
+    cols = np.full((nr, kk), -1, dtype=np.int64)
+    vals[r_idx, pos] = D[r_idx, c_idx]
+    cols[r_idx, pos] = c_idx
+    # entries are already in ascending-j order per row, so a stable sort
+    # by value yields (value, j) order
+    order = np.argsort(vals, axis=1, kind="stable")
+    return (np.take_along_axis(vals, order, axis=1),
+            np.take_along_axis(cols, order, axis=1))
 
 
 # ---------------------------------------------------------------------------

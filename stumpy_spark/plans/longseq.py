@@ -354,17 +354,18 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
                     b0, b1 = c0 + sc0, c0 + sc1
                     D = dist_sub(wr[sr0:sr1], wc_[sc0:sc1], a0, a1, b0, b1)
                     kk = min(k, D.shape[1])
-                    part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-                    vals = D[np.arange(D.shape[0])[:, None], part]
-                    v_p, j_p = _pad_cands(vals, part + b0, kk)
+                    # tie-aware selection: plain argpartition keeps an
+                    # arbitrary subset of exactly-tied boundary values
+                    # and can drop a tied smaller-j candidate before the
+                    # (value, j) merge (kernels.topk_tie_aware docstring)
+                    vals, jcols = kernels.topk_tie_aware(D, kk)
+                    v_p, j_p = _pad_cands(vals, jcols + b0, kk)
                     row_v.append(v_p)
                     row_j.append(j_p)
                     if emit_cols:
                         kkc = min(k, D.shape[0])
-                        partc = np.argpartition(D, kkc - 1,
-                                                axis=0)[:kkc, :].T
-                        valsc = D[partc, np.arange(D.shape[1])[:, None]]
-                        v_c, j_c = _pad_cands(valsc, partc + a0, kkc)
+                        valsc, icols = kernels.topk_tie_aware(D.T, kkc)
+                        v_c, j_c = _pad_cands(valsc, icols + a0, kkc)
                         cv.append((sc0, v_c))
                         cjn.append((sc0, j_c))
                 rv.append(np.concatenate(row_v, axis=1))
@@ -436,7 +437,7 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
 def mpdisted(spark: SparkSession, T_A, T_B, m: int,
              percentage: float = 0.05, k: int | None = None,
              tile: int = 8192, normalize: bool = True,
-             p: float = 2.0) -> float:
+             p: float = 2.0, custom_func=None) -> float:
     """Distributed MPdist between two over-limit series — the Spark
     restatement of the reference's ``mpdisted`` (mpdist.py:134-254 with
     the ``stumped`` distributed profile, mpdist.py:257-379): two tiled
@@ -449,6 +450,13 @@ def mpdisted(spark: SparkSession, T_A, T_B, m: int,
     max of the k+1 smallest is the k-th smallest (0-based), exactly the
     reference's ``P_ABBA[k]``.  Non-finite selection falls back to the
     largest finite value (core.py:3276-3312 semantics).
+
+    ``custom_func(P_ABBA) -> float`` replaces the selection, matching
+    the single-node :func:`stumpy_spark.mining.mpdist` hook
+    (mpdist.py:28,75-80).  It receives the full sorted ABBA profile, so
+    it collects O(n_A + n_B) values to the driver — linear in series
+    length (the profiles, never the n^2 pair matrix), same contract as
+    the reference's distributed selector.
     """
     import math
 
@@ -461,6 +469,9 @@ def mpdisted(spark: SparkSession, T_A, T_B, m: int,
         spark, T_B, m, tile=tile, T_B=T_A, normalize=normalize,
         p=p).select("P")
     abba = pab.unionByName(pba)
+    if custom_func is not None:
+        vals = abba.toPandas()["P"].to_numpy(dtype=np.float64)
+        return float(custom_func(np.sort(vals)))
     la = len(T_A) - m + 1
     lb = len(T_B) - m + 1
     total = la + lb

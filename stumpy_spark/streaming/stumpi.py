@@ -89,7 +89,12 @@ class GrowingStumpiState:
     version recomputed ``preprocess`` over the whole history each append
     and ``np.append``-reallocated every array)."""
 
-    def __init__(self, T: np.ndarray, m: int, k: int = 1):
+    def __init__(self, T: np.ndarray, m: int, k: int = 1, mp=None):
+        """``mp``: optional precomputed ``(P, I, IL, IR, PL, PR)`` from
+        ``kernels.matrix_profile(T, m, k=k, return_left_right_P=True)``
+        — the reference's ``mp=`` resume shortcut
+        (stumpy/stumpi.py:205-211) that skips the O(n^2) batch profile
+        when resuming a stream from checkpointed state."""
         T = np.asarray(T, dtype=np.float64)
         self.m = m
         self.k = k
@@ -97,8 +102,19 @@ class GrowingStumpiState:
         l = n - m + 1
         self._n = n
         Tc, M_T, Sigma_T, finw, con = kernels.preprocess(T, m)
-        P, I, IL, IR, PL, PR = kernels.matrix_profile(
-            T, m, k=k, return_left_right_P=True)
+        if mp is not None:
+            P, I, IL, IR, PL, PR = mp
+            if np.asarray(P).reshape(l, -1).shape != (l, k):
+                raise ValueError(
+                    f"mp profile shape {np.asarray(P).shape} does not "
+                    f"match (l={l}, k={k})")
+            P = np.asarray(P, dtype=np.float64).reshape(l, k)
+            I = np.asarray(I, dtype=np.int64).reshape(l, k)
+            IL = np.asarray(IL, dtype=np.int64).reshape(l)
+            PL = np.asarray(PL, dtype=np.float64).reshape(l)
+        else:
+            P, I, IL, IR, PL, PR = kernels.matrix_profile(
+                T, m, k=k, return_left_right_P=True)
         cap = max(2 * n, n + 64)
         lcap = cap - m + 1
         self._T = _grow(Tc, cap)                      # zeroed series
@@ -209,7 +225,12 @@ class StumpiState:
     """
 
     def __init__(self, T: np.ndarray, m: int, k: int = 1,
-                 absolute_indices: bool = False):
+                 absolute_indices: bool = False, mp=None):
+        """``mp``: optional precomputed ``(P, I, IL, IR, PL, PR)`` from
+        ``kernels.matrix_profile(T, m, k=k, return_left_right_P=True)``
+        (or a prior run over the same window) — the reference's ``mp=``
+        resume shortcut (stumpy/stumpi.py:205-211) that skips the O(n^2)
+        batch profile on stream resume."""
         T = np.asarray(T, dtype=np.float64)
         self.m = m
         self.k = k
@@ -223,8 +244,17 @@ class StumpiState:
         self.Sig = Sigma_T.copy()
         self.finw = finw.copy()
         self.con = con.copy()
-        P, I, IL, IR, PL, PR = kernels.matrix_profile(
-            T, m, k=k, return_left_right_P=True)
+        if mp is not None:
+            P, I, IL, IR, PL, PR = mp
+            if np.asarray(P).reshape(l, -1).shape != (l, k):
+                raise ValueError(
+                    f"mp profile shape {np.asarray(P).shape} does not "
+                    f"match (l={l}, k={k})")
+            P = np.asarray(P, dtype=np.float64).reshape(l, k)
+            I = np.asarray(I, dtype=np.int64).reshape(l, k)
+        else:
+            P, I, IL, IR, PL, PR = kernels.matrix_profile(
+                T, m, k=k, return_left_right_P=True)
         self._P = P.astype(np.float64)        # (l, k), sorted rows
         self._I = I.astype(np.int64)          # absolute indices
         self.left_P = PL.copy()

@@ -366,3 +366,25 @@ def test_qt_recurrence_gates():
     assert not kernels._qt_recurrence_ok(big, 1024)  # m*max^2 > 2^52
     assert kernels._qt_recurrence_ok(
         np.arange(100, dtype=np.float64), 256)
+
+
+def test_topk_ties_constant_windows():
+    """Top-k with exact-zero tied distances (constant windows) must keep
+    the smallest-j tied candidates — argpartition alone kept an
+    arbitrary tied subset."""
+    import numpy as np
+    import numpy.testing as npt
+    from stumpy_spark import kernels
+
+    T = np.tile(np.array([1, 1, 1, 1, 5, 2, 2, 2, 2, 7.0]), 5)
+    m, k = 4, 3
+    P, I, _, _ = kernels.matrix_profile(T, m, k=k)
+    l = len(T) - m + 1
+    ez = kernels.excl_zone(m)
+    for i in range(l):
+        D = kernels.mass(T[i:i + m], T)
+        D[max(0, i - ez):i + ez + 1] = np.inf
+        order = np.lexsort((np.arange(l), D))[:k]
+        npt.assert_allclose(P[i], D[order], atol=1e-9)
+        exp_idx = np.where(np.isfinite(D[order]), order, -1)
+        npt.assert_array_equal(I[i], exp_idx)

@@ -224,3 +224,24 @@ def test_mstumped_nonnormalized_and_nans(spark):
     gP2, gI2 = _mstumped_pdf(spark, Ts, m, tile=150)
     npt.assert_almost_equal(P2, gP2, decimal=10)
     npt.assert_array_equal(I2, gI2)
+
+
+def test_mpdisted_custom_func_matches_single_node(spark):
+    """custom_func selector parity with mining.mpdist (reference
+    mpdist.py:28,75-80): the distributed path must hand the same sorted
+    ABBA profile to the user selector."""
+    from stumpy_spark.mining import mpdist
+    from stumpy_spark.plans.longseq import mpdisted
+    rs = np.random.RandomState(62)
+    T_A = rs.uniform(-100, 100, 600)
+    T_B = rs.uniform(-100, 100, 500)
+    m = 10
+
+    def selector(abba):
+        # a non-trivial selector: mean of the middle tercile
+        n = len(abba)
+        return float(np.mean(abba[n // 3:2 * n // 3]))
+
+    exp = mpdist(T_A, T_B, m, custom_func=selector)
+    got = mpdisted(spark, T_A, T_B, m, tile=200, custom_func=selector)
+    assert abs(exp - got) < 1e-9
