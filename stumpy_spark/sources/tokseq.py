@@ -95,7 +95,7 @@ def tokseq_df(spark: SparkSession, n_docs: int, seed: int = SEED,
 # -- fixture materialization (small scales, for tests / driver oracles) -----
 
 _SF_DOCS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 200_000,
-            "scaling": 400_000}
+            "scaling": 400_000, "sf1": 2_000_000}
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".fixtures")
 
