@@ -396,6 +396,13 @@ def _pearson_from_qt(QT, mu_A, sig_A, mu_B, sig_B, m):
     return QT
 
 
+#: matrices up to this many cells run as a single tile (no blocking
+#: overhead); above it, cache-sized tiles.  Tuned on the real short-doc
+#: length mix (cost-weighted sweep over the sf0.01 n_tok distribution):
+#: 65536 (l <= 256) beat 262144 by ~23% — the vectorized band/split
+#: fills favor a smaller single-tile region than per-row loop fills did.
+ONE_TILE_CELLS = 65536
+
 #: windows at least this long route to the O(n^2) diagonal recurrence
 #: (below it, BLAS GEMM wins on cache-resident tiles; measured crossover
 #: ~m=200 single-threaded on 8k-window series)
@@ -503,7 +510,7 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
     symmetric update (present at any tile size) and is absorbed by the
     6-decimal rounding of the correctness oracle."""
     l = windows.shape[0]
-    if l * l <= 262144:
+    if l * l <= ONE_TILE_CELLS:
         br = bc = l
     best_p = np.full(l, np.inf)
     best_j = np.full(l, -1, dtype=np.int64)
@@ -537,15 +544,14 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
             if not all_fin:
                 D[~fin[r0:r1], :] = np.inf
                 D[:, ~fin[c0:c1]] = np.inf
-            crossing = c0 <= r1 - 1 + ez and r0 - ez <= c1 - 1
-            if crossing:
-                for ra in range(r0, r1):
-                    lo = max(c0, ra - ez) - c0
-                    hi = min(c1, ra + ez + 1) - c0
-                    if lo < hi:
-                        D[ra - r0, lo:hi] = np.inf
             cc = np.arange(c1 - c0)
             cols_abs = np.arange(c0, c1)
+            crossing = c0 <= r1 - 1 + ez and r0 - ez <= c1 - 1
+            if crossing:
+                # vectorized band fill |j - i| <= ez (a per-row Python
+                # slice loop here dominated short-series profiles)
+                D[np.abs(cols_abs[None, :] - rows_abs[:, None])
+                  <= ez] = np.inf
             # col-direction minima first (neighbors i in [r0, r1), i.e.
             # smaller indices): keeps per-index candidates arriving in
             # ascending neighbor order so strict-< updates reproduce the
@@ -564,22 +570,19 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
                     upd(br_p, br_j, rows_abs, v, j + c0)
                     upd(bl_p, bl_j, cols_abs, v2, i2 + r0)
                 else:
-                    # diagonal-crossing tile: split both directions
-                    buf = D.copy()
-                    for ra in range(r0, r1):
-                        lo = max(0, ra - c0)
-                        buf[ra - r0, lo:] = np.inf      # j < i part
+                    # diagonal-crossing tile: split both directions with
+                    # broadcast masks (vectorized; was per-row loops)
+                    below = (cols_abs[None, :] >= rows_abs[:, None])
+                    buf = np.where(below, np.inf, D)    # keep j < i
                     jl = np.argmin(buf, axis=1)
                     vl = buf[rr, jl]
                     upd(bl_p, bl_j, rows_abs, vl, jl + c0)
                     il = np.argmin(buf, axis=0)
                     vli = buf[il, cc]
                     upd(br_p, br_j, cols_abs, vli, il + r0)
-                    buf[:] = D
-                    for ra in range(r0, r1):
-                        hi = min(buf.shape[1], ra - c0 + 1)
-                        if hi > 0:
-                            buf[ra - r0, :hi] = np.inf  # j > i part
+                    np.greater(cols_abs[None, :], rows_abs[:, None],
+                               out=below)
+                    buf = np.where(below, D, np.inf)    # keep j > i
                     jr = np.argmin(buf, axis=1)
                     vr = buf[rr, jr]
                     upd(br_p, br_j, rows_abs, vr, jr + c0)
@@ -604,8 +607,8 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
     running per-row minima (and left/right minima for self-joins)."""
     la = windows_A.shape[0]
     lb = windows_B.shape[0]
-    if la * lb <= 262144:
-        # whole matrix fits in ~2 MB: one tile, no blocking overhead
+    if la * lb <= ONE_TILE_CELLS:
+        # whole matrix fits in cache: one tile, no blocking overhead
         br, bc = la, lb
     for r0 in range(0, la, br):
         r1 = min(r0 + br, la)
@@ -632,11 +635,8 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
             if not all_fin_B:
                 D[:, ~fin_B[c0:c1]] = np.inf
             if self_join and c0 - ez <= r1 and r0 - ez <= c1:
-                for ra in range(r0, r1):
-                    lo = max(c0, ra - ez) - c0
-                    hi = min(c1, ra + ez + 1) - c0
-                    if lo < hi:
-                        D[ra - r0, lo:hi] = np.inf
+                D[np.abs(np.arange(c0, c1)[None, :]
+                         - rows_abs[:, None]) <= ez] = np.inf
             j = np.argmin(D, axis=1)
             v = D[rr, j]
             upd = v < best_p
@@ -652,20 +652,17 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
                     br_p[upd] = v[upd]
                     br_j[upd] = j[upd] + c0
                 else:                            # diagonal tile: split
-                    buf = D.copy()
-                    for ra in range(r0, r1):
-                        lo = max(0, ra - c0)
-                        buf[ra - r0, lo:] = np.inf
+                    below = (np.arange(c0, c1)[None, :]
+                             >= rows_abs[:, None])
+                    buf = np.where(below, np.inf, D)    # keep j < i
                     jl = np.argmin(buf, axis=1)
                     vl = buf[rr, jl]
                     upd = vl < bl_p
                     bl_p[upd] = vl[upd]
                     bl_j[upd] = jl[upd] + c0
-                    buf[:] = D
-                    for ra in range(r0, r1):
-                        hi = min(buf.shape[1], ra - c0 + 1)
-                        if hi > 0:
-                            buf[ra - r0, :hi] = np.inf
+                    np.greater(np.arange(c0, c1)[None, :],
+                               rows_abs[:, None], out=below)
+                    buf = np.where(below, D, np.inf)    # keep j > i
                     jr = np.argmin(buf, axis=1)
                     vr = buf[rr, jr]
                     upd = vr < br_p
