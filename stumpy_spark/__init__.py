@@ -56,9 +56,10 @@ Utilities / extension hooks (SURVEY §2.2, §2.10): kernels.
 process_isconstant (None | bool array | callable(T, m) constant-window
 hook, threaded through preprocess/matrix_profile/mass), kernels.
 idx_to_mp, kernels.replace_distance, kernels.check_P, mining.mpdist's
-``custom_func`` (P_ABBA selector) and ``mp_func`` (profile-kernel
-injection), mining.cac's ``custom_iac``, mining.match's callable
-``max_distance``.
+``custom_func`` (P_ABBA selector, also on plans.longseq.mpdisted) and
+``mp_func`` (profile-kernel injection), mining.cac's ``custom_iac``,
+mining.match's callable ``max_distance``, and the streaming states'
+``mp=`` precomputed-profile resume shortcut (stumpi.py:205-211).
 
 ``normalize=False`` reroutes every normalized op to its p-norm twin as a
 parameter (the reference's @non_normalized decorator, core.py:72-152);
@@ -71,7 +72,10 @@ sessions, batch + Structured Streaming), rollup.quantiles.
 bucket_quantiles (histogram-exact per-bucket percentiles),
 operators.asof_join (backward as-of join), functions.dedup.
 connected_components / dedup_clusters (duplicate-component labels),
-functions.textfns.top_tokens (exact per-group heavy hitters).
+functions.textfns.top_tokens (exact per-group heavy hitters),
+functions.codecs (real pure-stdlib PNG + PCM16 WAV codecs) with
+functions.multimodal.decode_features / decode_meta / resize_images
+(mapInPandas media decode; video remains a documented stub).
 """
 
 from . import anytime, config, kernels, mining  # noqa: F401
