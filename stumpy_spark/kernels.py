@@ -386,13 +386,19 @@ def _pearson_block(windows_A, windows_B, mu_A, sig_A, mu_B, sig_B, m):
     return _pearson_from_qt(QT, mu_A, sig_A, mu_B, sig_B, m)
 
 
-def _pearson_from_qt(QT, mu_A, sig_A, mu_B, sig_B, m):
-    """Normalize a raw dot-product block to Pearson rho, in place."""
+def _pearson_from_qt(QT, mu_A, sig_A, mu_B, sig_B, m, clamp=True):
+    """Normalize a raw dot-product block to Pearson rho, in place.
+
+    ``clamp=False`` skips the rho <= 1 pass for callers that immediately
+    run ``_rho_to_distance_inplace(..., clamped=False)`` — the distance
+    threshold maps any rho > 1 to exactly 0 there, so the fused pair is
+    value-identical with two fewer full-matrix passes."""
     QT -= np.outer(m * mu_A, mu_B)
     denom = np.outer(m * sig_A, sig_B)
     np.maximum(denom, config.DENOM_THRESHOLD, out=denom)
     QT /= denom
-    np.minimum(QT, 1.0, out=QT)
+    if clamp:
+        np.minimum(QT, 1.0, out=QT)
     return QT
 
 
@@ -447,12 +453,13 @@ class _QTProvider:
         self.TA, self.TB = TA, TB
         self.use_rec = TA is not None
 
-    def pearson(self, r0, r1, c0, c1):
+    def pearson(self, r0, r1, c0, c1, clamp=True):
         m = self.m
         if not self.use_rec:
-            return _pearson_block(
-                self.wA[r0:r1], self.wB[c0:c1], self.mu_A[r0:r1],
-                self.sig_A[r0:r1], self.mu_B[c0:c1], self.sig_B[c0:c1], m)
+            QT = self.wA[r0:r1] @ self.wB[c0:c1].T
+            return _pearson_from_qt(
+                QT, self.mu_A[r0:r1], self.sig_A[r0:r1],
+                self.mu_B[c0:c1], self.sig_B[c0:c1], m, clamp=clamp)
         nr, nc = r1 - r0, c1 - c0
         QT = np.empty((nr, nc))
         QT[0, :] = self.wB[c0:c1] @ self.wA[r0]
@@ -474,15 +481,22 @@ class _QTProvider:
         elif nr > 1:
             QT[1:, 0] = self.wA[r0 + 1:r1] @ self.wB[c0]
         return _pearson_from_qt(QT, self.mu_A[r0:r1], self.sig_A[r0:r1],
-                                self.mu_B[c0:c1], self.sig_B[c0:c1], m)
+                                self.mu_B[c0:c1], self.sig_B[c0:c1], m,
+                                clamp=clamp)
 
 
-def _rho_to_distance_inplace(rho, m):
+def _rho_to_distance_inplace(rho, m, clamped=True):
     """rho block -> z-norm distance block, in place: D = sqrt(|2m(1-rho)|)
-    with snap-to-zero (stump.py:482-506)."""
+    with snap-to-zero (stump.py:482-506).
+
+    ``clamped=False`` accepts unclamped rho (may exceed 1): 2m(1-rho) is
+    then negative and falls below the snap-to-zero threshold, producing
+    the same 0 the clamp+abs path produces — one less full-matrix pass,
+    bit-identical output."""
     rho -= 1.0
     rho *= -2.0 * m
-    np.abs(rho, out=rho)
+    if clamped:
+        np.abs(rho, out=rho)
     rho[rho < config.P_NORM_THRESHOLD] = 0.0
     np.sqrt(rho, out=rho)
     return rho
@@ -534,8 +548,8 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
             c1 = min(c0 + bc, l)
             if c1 <= r0:
                 continue                      # strictly lower tile grid
-            D = qtp.pearson(r0, r1, c0, c1)
-            _rho_to_distance_inplace(D, m)
+            D = qtp.pearson(r0, r1, c0, c1, clamp=False)
+            _rho_to_distance_inplace(D, m, clamped=False)
             if any_con:
                 ca = con[r0:r1][:, None]
                 cb = con[c0:c1][None, :]
@@ -623,8 +637,8 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
         br_j = np.full(nr, -1, dtype=np.int64)
         for c0 in range(0, lb, bc):
             c1 = min(c0 + bc, lb)
-            D = qtp.pearson(r0, r1, c0, c1)
-            _rho_to_distance_inplace(D, m)
+            D = qtp.pearson(r0, r1, c0, c1, clamp=False)
+            _rho_to_distance_inplace(D, m, clamped=False)
             if any_con:
                 ca = con_A[r0:r1][:, None]
                 cb = con_B[c0:c1][None, :]
@@ -762,8 +776,8 @@ def matrix_profile(
         return P, I, IL, IR
     for start in range(0, la, block_rows):
         stop = min(start + block_rows, la)
-        D = qtp.pearson(start, stop, 0, lb)
-        _rho_to_distance_inplace(D, m)
+        D = qtp.pearson(start, stop, 0, lb, clamp=False)
+        _rho_to_distance_inplace(D, m, clamped=False)
         # constant-window special cases (core.py:1155-1158); the mask work
         # is skipped entirely on the common all-non-constant path
         if any_con:

@@ -173,10 +173,13 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
             ``wr_s``/``wc_s`` are contiguous window slices (BLAS GEMM on
             strided sliding-window views is ~10x slower, kernels.py:633)."""
             if normalize:
-                rho = kernels._pearson_block(
-                    wr_s, wc_s, mu[a0:a1], sig[a0:a1],
-                    mub[b0:b1], sigb[b0:b1], m)
-                D = kernels._rho_to_distance_inplace(rho, m)
+                # fused clamp-free pair (value-identical, two fewer
+                # full-matrix passes — kernels._pearson_from_qt docs)
+                rho = kernels._pearson_from_qt(
+                    wr_s @ wc_s.T, mu[a0:a1], sig[a0:a1],
+                    mub[b0:b1], sigb[b0:b1], m, clamp=False)
+                D = kernels._rho_to_distance_inplace(rho, m,
+                                                     clamped=False)
                 ca = con[a0:a1]
                 cb = conb[b0:b1]
                 if ca.any() or cb.any():
