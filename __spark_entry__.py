@@ -216,6 +216,26 @@ def _q_stump_m8_short(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(p0).alias("max_p")))
 
 
+def _q_stump_m256_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-normalized top-1 matrix profile at m=256 on a sampled set of
+    long docs — drives the engine's large-m exact diagonal-recurrence
+    path (kernels.QT_REC_MIN_M = 192; reference stomp.py:146-149) under
+    the driver gate.  m = 2^8 keeps mu = ws/m exact in binary, so every
+    float op is bit-exact cross-engine; the DuckDB twin restates the
+    same O(n^2) cumsum-along-diagonals trick as a window SUM per
+    diagonal (the O(n^2 m) wide-join formulation measured 79x slower)."""
+    from stumpy_spark.operators import stump
+    df = _tokseq(spark, sf_dir).where(
+        (F.col("n_tok") >= 512) & (F.col("n_tok") <= 800)
+        & F.col("doc_id").like("%400"))
+    prof = stump(df, 256)
+    p0 = F.col("P")[0]
+    return (prof.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_windows"),
+                 F.round(F.min(p0), 6).alias("min_p"),
+                 F.round(F.max(p0), 6).alias("max_p")))
+
+
 def _q_mass_q8_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stumpy_spark.operators import mass
     df = _tokseq(spark, sf_dir)
@@ -2214,6 +2234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stump_m8_short": _q_stump_m8_short,
     "mass_q8": _q_mass_q8,
     "mass_q8_znorm": _q_mass_q8_znorm,
+    "stump_m256_long": _q_stump_m256_long,
     "rollup_1h_salted": _q_rollup_1h_salted,
     "events_rollup_1h": _q_events_rollup_1h,
     "dedup_exact": _q_dedup_exact,
@@ -3540,6 +3561,72 @@ SELECT media_id,
        (greatest(duration_ms - 1, 0) // 1000 * 1000)::BIGINT AS max_ts_ms
 FROM read_parquet('{media_glob}')
 WHERE mime LIKE 'video/%'
+"""
+    # Large-m recurrence-path oracle (m = 256 = 2^8, bit-exact mu): the
+    # SQL twin restates the engine's O(n^2) diagonal-cumsum QT trick as
+    # a window SUM per diagonal — the naive O(n^2 m) wide join measured
+    # 79x slower in DuckDB on the same docs.
+    _m256, _ez256 = 256, 64
+    out["stump_m256_long"] = f"""
+WITH tok AS (
+    SELECT doc_id, n_tok, g.i - 1 AS pos, CAST(tokens[g.i] AS BIGINT) AS t
+    FROM read_parquet('{glob}') tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+    WHERE n_tok BETWEEN 512 AND 800 AND doc_id LIKE '%400'
+),
+wstats AS (
+    SELECT doc_id, pos,
+           SUM(t) OVER w AS ws, SUM(t*t) OVER w AS ws2,
+           COUNT(*) OVER w AS cnt
+    FROM tok
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_m256 - 1} FOLLOWING)
+),
+stats AS (
+    SELECT doc_id, pos,
+           CAST(ws AS DOUBLE)/{_m256} AS mu,
+           sqrt(greatest(CAST(ws2 AS DOUBLE)/{_m256}
+                - (CAST(ws AS DOUBLE)/{_m256})*(CAST(ws AS DOUBLE)/{_m256}),
+                0.0)) AS sig
+    FROM wstats WHERE cnt = {_m256}
+),
+prods AS (
+    SELECT a.doc_id, a.pos AS i, b.pos - a.pos AS d, a.t * b.t AS prod
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND b.pos - a.pos > {_ez256}
+),
+dsum AS (
+    SELECT doc_id, i, d,
+           SUM(prod) OVER dw AS dot, COUNT(*) OVER dw AS cnt
+    FROM prods
+    WINDOW dw AS (PARTITION BY doc_id, d ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND {_m256 - 1} FOLLOWING)
+),
+qt AS (SELECT doc_id, i, i + d AS j, dot FROM dsum WHERE cnt = {_m256}),
+qt2 AS (
+    SELECT doc_id, i, j, dot FROM qt
+    UNION ALL
+    SELECT doc_id, j AS i, i AS j, dot FROM qt
+),
+dist AS (
+    SELECT b.doc_id, b.i,
+           CASE WHEN sa.sig = 0 AND sb.sig = 0 THEN 0.0
+                WHEN sa.sig = 0 OR sb.sig = 0 THEN {float(_m256)}
+                ELSE abs((least((CAST(b.dot AS DOUBLE)
+                     - ({_m256}*sa.mu)*sb.mu)
+                     / greatest(({_m256}*sa.sig)*sb.sig, 1e-14), 1.0)
+                     - 1.0) * -{float(2 * _m256)}) END AS d2
+    FROM qt2 b
+    JOIN stats sa ON sa.doc_id = b.doc_id AND sa.pos = b.i
+    JOIN stats sb ON sb.doc_id = b.doc_id AND sb.pos = b.j
+),
+dd AS (SELECT doc_id, i,
+              sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+       FROM dist),
+prof AS (SELECT doc_id, i, MIN(d) AS p FROM dd GROUP BY doc_id, i)
+SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+       ROUND(MIN(p), 6) AS min_p, ROUND(MAX(p), 6) AS max_p
+FROM prof GROUP BY doc_id
 """
     # Decoded facts must equal the fixture's pre-encode ground truth: the
     # oracle just reads the stored truth columns; the Spark side actually
