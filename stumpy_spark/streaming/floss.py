@@ -260,14 +260,28 @@ class AampiState:
     naive oracles."""
 
     def __init__(self, T: np.ndarray, m: int,
-                 absolute_indices: bool = False):
+                 absolute_indices: bool = False, mp=None):
+        """``mp``: optional precomputed ``(P, I, ...)`` from
+        ``kernels.matrix_profile_absolute(T, m)`` — the reference's
+        ``mp=`` resume shortcut (stumpy/stumpi.py:205-211, shared by
+        aampi), skipping the O(n^2) batch profile on stream resume."""
         T = np.asarray(T, dtype=np.float64)
         self.m = m
         self.n = len(T)
+        l = self.n - m + 1
         self.absolute_indices = absolute_indices
         self.isfin = np.isfinite(T)
         self.T = np.where(self.isfin, T, 0.0)
-        P, I, _, _ = kernels.matrix_profile_absolute(T, m)
+        if mp is not None:
+            P, I = np.asarray(mp[0]), np.asarray(mp[1])
+            if P.reshape(l, -1).shape != (l, 1):
+                raise ValueError(
+                    f"mp profile shape {P.shape} does not match "
+                    f"(l={l}, k=1)")
+            P = P.reshape(l, 1).astype(np.float64)
+            I = I.reshape(l, 1).astype(np.int64)
+        else:
+            P, I, _, _ = kernels.matrix_profile_absolute(T, m)
         self.P = P[:, 0].copy()
         self._I = I[:, 0].copy()              # absolute; -1 sentinel
         self.QT = kernels.sliding_dot_product(self.T[-m:], self.T)

@@ -183,3 +183,24 @@ def test_floss_nonfinite_append_recovers():
         st.update(t)
     npt.assert_almost_equal(PR, st.PR, decimal=PRECISION)
     npt.assert_array_equal(IR, st.IR)
+
+
+def test_aampi_mp_resume_equals_cold_init():
+    """aampi twin of the stumpi mp= resume shortcut: init from a
+    precomputed non-normalized profile must equal cold init exactly."""
+    import numpy as np
+    import numpy.testing as npt
+    from stumpy_spark import kernels
+    from stumpy_spark.streaming.floss import AampiState
+
+    rs = np.random.RandomState(41)
+    T = rs.uniform(-50, 50, 100)
+    m = 6
+    mp = kernels.matrix_profile_absolute(T, m)
+    cold = AampiState(T, m)
+    warm = AampiState(T, m, mp=mp)
+    for v in rs.uniform(-50, 50, 30):
+        cold.update(v)
+        warm.update(v)
+    npt.assert_array_equal(cold.P, warm.P)
+    npt.assert_array_equal(cold.I, warm.I)
