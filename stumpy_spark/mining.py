@@ -117,9 +117,11 @@ def mpdist(T_A, T_B, m: int, percentage: float = 0.05,
     else:
         PAB = kernels.matrix_profile_absolute(T_A, m, T_B=T_B, p=p)[0][:, 0]
         PBA = kernels.matrix_profile_absolute(T_B, m, T_B=T_A, p=p)[0][:, 0]
-    ABBA = np.sort(np.concatenate([PAB, PBA]))
+    # custom_func receives the UNSORTED concat with the AB half first —
+    # the reference contract (core.py:3276-3312) is position-sensitive
     if custom_func is not None:
-        return float(custom_func(ABBA))
+        return float(custom_func(np.concatenate([PAB, PBA])))
+    ABBA = np.sort(np.concatenate([PAB, PBA]))
     n = len(T_A) + len(T_B)
     if k is None:
         k = min(int(math.ceil(percentage * n)), len(ABBA) - 1)

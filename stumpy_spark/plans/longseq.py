@@ -456,25 +456,33 @@ def mpdisted(spark: SparkSession, T_A, T_B, m: int,
 
     ``custom_func(P_ABBA) -> float`` replaces the selection, matching
     the single-node :func:`stumpy_spark.mining.mpdist` hook
-    (mpdist.py:28,75-80).  It receives the full sorted ABBA profile, so
-    it collects O(n_A + n_B) values to the driver — linear in series
-    length (the profiles, never the n^2 pair matrix), same contract as
-    the reference's distributed selector.
+    (mpdist.py:28,75-80).  It receives the UNSORTED concatenation with
+    the P_AB half first in positional order — the reference contract
+    (core.py:3276-3312) is position-sensitive — so it collects
+    O(n_A + n_B) values to the driver, linear in series length (the
+    profiles, never the n^2 pair matrix), same contract as the
+    reference's distributed selector.
     """
     import math
 
     T_A = np.asarray(T_A, dtype=np.float64)
     T_B = np.asarray(T_B, dtype=np.float64)
+    # positional rename: the profile DF carries both `i` and `I`, which
+    # Spark's case-insensitive resolver refuses to select by name
+    _names = ["row_i", "P", "I_", "PL", "IL", "PR", "IR"]
     pab = distributed_matrix_profile(
         spark, T_A, m, tile=tile, T_B=T_B, normalize=normalize,
-        p=p).select("P")
+        p=p).toDF(*_names).select("row_i", "P")
     pba = distributed_matrix_profile(
         spark, T_B, m, tile=tile, T_B=T_A, normalize=normalize,
-        p=p).select("P")
-    abba = pab.unionByName(pba)
+        p=p).toDF(*_names).select("row_i", "P")
     if custom_func is not None:
-        vals = abba.toPandas()["P"].to_numpy(dtype=np.float64)
-        return float(custom_func(np.sort(vals)))
+        va = pab.orderBy("row_i").toPandas()["P"].to_numpy(
+            dtype=np.float64)
+        vb = pba.orderBy("row_i").toPandas()["P"].to_numpy(
+            dtype=np.float64)
+        return float(custom_func(np.concatenate([va, vb])))
+    abba = pab.select("P").unionByName(pba.select("P"))
     la = len(T_A) - m + 1
     lb = len(T_B) - m + 1
     total = la + lb

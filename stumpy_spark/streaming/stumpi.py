@@ -252,6 +252,8 @@ class StumpiState:
                     f"match (l={l}, k={k})")
             P = np.asarray(P, dtype=np.float64).reshape(l, k)
             I = np.asarray(I, dtype=np.int64).reshape(l, k)
+            IL = np.asarray(IL, dtype=np.int64).reshape(l)
+            PL = np.asarray(PL, dtype=np.float64).reshape(l)
         else:
             P, I, IL, IR, PL, PR = kernels.matrix_profile(
                 T, m, k=k, return_left_right_P=True)

@@ -70,6 +70,47 @@ def test_png_decode_foreign_filters():
     np.testing.assert_array_equal(png_decode(blob), px)
 
 
+def _naive_unfilter(raw, h, stride, bpp):
+    """Spec-literal per-byte PNG unfilter (RFC 2083 §6) — the oracle for
+    the engine's fast-path `_unfilter`."""
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = out[y, x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            v = int(raw[y, 1 + x])
+            if ftype == 1:
+                v += a
+            elif ftype == 2:
+                v += b
+            elif ftype == 3:
+                v += (a + b) >> 1
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                v += a if pa <= pb and pa <= pc else \
+                    (b if pb <= pc else c)
+            out[y, x] = v & 0xFF
+    return out.astype(np.uint8)
+
+
+def test_unfilter_matches_naive_all_bpp():
+    from stumpy_spark.functions.codecs import _unfilter
+    rs = np.random.RandomState(11)
+    for bpp in (1, 2, 3, 4):
+        for _ in range(3):
+            h = int(rs.randint(1, 24))
+            stride = int(rs.randint(1, 24)) * bpp
+            raw = rs.randint(0, 256, size=(h, 1 + stride)).astype(np.uint8)
+            raw[:, 0] = rs.randint(0, 5, size=h)
+            np.testing.assert_array_equal(
+                _unfilter(raw, h, stride, bpp),
+                _naive_unfilter(raw, h, stride, bpp))
+
+
 def test_png_rejects_garbage():
     with pytest.raises(ValueError):
         png_decode(b"not a png at all....")

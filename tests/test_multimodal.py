@@ -1,4 +1,5 @@
-"""Multimodal tests: real Spark flow, real PNG/WAV codecs, video stub."""
+"""Multimodal tests: real Spark flow, real PNG/WAV/y4m codecs; only
+compressed video (mp4) remains a documented opaque stub."""
 
 import numpy as np
 import pytest
@@ -17,7 +18,8 @@ def test_real_decode_png_wav_video(spark, media):
     pdf = MM.decode_features(media, fake=False).toPandas()
     by_mime = pdf.groupby("mime").decode_ok.all()
     assert by_mime["image/png"] and by_mime["audio/wav"]
-    # video has no codec in this container: decode_ok=False, null feature
+    assert by_mime["video/y4m"]  # real uncompressed-frame container codec
+    # compressed video has no codec in this container: decode_ok=False
     vid = pdf[pdf.mime == "video/mp4"]
     assert (~vid.decode_ok).all() and vid.feature.isna().all()
     decoded = pdf[pdf.decode_ok]
@@ -30,7 +32,8 @@ def test_decode_meta_matches_ground_truth(spark, media):
     """decode(blob) must reproduce the pre-encode pixel/sample sums the
     fixture stored — end-to-end codec verification."""
     truth = media.select("media_id", "mime", "width", "height",
-                         "px_sum", "n_samples", "sample_sum").toPandas()
+                         "px_sum", "n_samples", "sample_sum",
+                         "n_frames").toPandas()
     dec = MM.decode_meta(media).toPandas()
     j = truth.merge(dec, on=["media_id", "mime"])
     png = j[j.mime == "image/png"]
@@ -40,6 +43,10 @@ def test_decode_meta_matches_ground_truth(spark, media):
     wav = j[j.mime == "audio/wav"]
     assert (wav.dec_n_samples == wav.n_samples).all()
     assert (wav.dec_sample_sum == wav.sample_sum).all()
+    y4m = j[j.mime == "video/y4m"]
+    assert (y4m.dec_px_sum == y4m.px_sum).all()
+    assert (y4m.dec_width == y4m.width).all()
+    assert (y4m.dec_height == y4m.height).all()
     assert (~j[j.mime == "video/mp4"].decode_ok).all()
 
 
@@ -66,8 +73,9 @@ def test_frame_sample_plan(spark, media):
 
 def test_media_stats_metadata_only(spark, media):
     stats = MM.media_stats(media).toPandas().set_index("mime")
-    assert stats.loc["image/png"].n_media == 30
+    assert stats.loc["image/png"].n_media == 23  # 90 rows, 4-mime cycle
     assert stats.loc["video/mp4"].total_bytes > 0
+    assert stats.loc["video/y4m"].total_bytes > 0
 
 
 def test_resize_images_fake_deterministic(spark):
@@ -99,3 +107,23 @@ def test_resize_images_real(spark):
     for blob in out.blob:
         arr = png_decode(bytes(blob))
         assert arr.shape[:2] == (12, 24)
+
+
+def test_extract_frames_matches_pre_encode_truth(spark, media):
+    """Real y4m decode: sampled-frame luma sums must equal the fixture's
+    pre-encode frame_px_sums at the same indices."""
+    out = MM.extract_frames(media, every_ms=1000).toPandas()
+    assert len(out) > 0
+    truth = media.where("mime = 'video/y4m'").select(
+        "media_id", "duration_ms", "frame_px_sums").toPandas()
+    tm = {r.media_id: list(r.frame_px_sums) for r in truth.itertuples()}
+    dm = {r.media_id: int(r.duration_ms) for r in truth.itertuples()}
+    for r in out.itertuples():
+        sums = tm[r.media_id]
+        idx = min(r.frame_ts_ms * 4 // 1000, len(sums) - 1)
+        assert r.frame_idx == idx
+        assert r.frame_px_sum == sums[idx]
+    # every video emits exactly ceil(duration/1000) sampled frames
+    counts = out.groupby("media_id").size()
+    for mid, dur in dm.items():
+        assert counts[mid] == (dur + 999) // 1000

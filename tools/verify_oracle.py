@@ -44,8 +44,11 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:  # all args are query names; default sf dir
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
     os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
 
     import __spark_entry__ as entrymod
