@@ -244,8 +244,8 @@ def _q_stump_m256_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0 = F.col("P")[0]
     return (prof.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_windows"),
-                 F.round(F.min(p0), 6).alias("min_p"),
-                 F.round(F.max(p0), 6).alias("max_p")))
+                 F.round(F.min(p0), 5).alias("min_p"),
+                 F.round(F.max(p0), 5).alias("max_p")))
 
 
 def _q_mass_q8_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,7 +305,7 @@ def _q_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.where(F.col("vec_id") < 20)
                .select("vec_id", "embedding").toPandas())
     cands = emb.select("vec_id", "embedding")
-    res = brute_knn(cands, queries, k=2, round_decimals=6)
+    res = brute_knn(cands, queries, k=2, round_decimals=5)
     # top-1 excluding self
     best = (res.where(F.col("cand_id") != F.col("query_id"))
             .groupBy("query_id")
@@ -893,6 +893,57 @@ def _q_incremental_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_n_tok").cast("long").alias("max_n_tok"),
         F.col("sum_window_sums").cast("long").alias("sum_window_sums"),
         "min_mean", "max_mean")
+
+
+def _q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end under the SQL oracle: the tokseq
+    input is re-served as a two-micro-batch file stream (availableNow
+    trigger), flows through the watermarked streaming rollup — the real
+    state-store execution path (rollup/streaming.py), not the batch
+    planner — into a memory sink in complete mode; the final table must
+    equal the batch 1h tier, so the plain rollup_1h SQL is its oracle.
+    The 365-day watermark keeps every row (determinism); the two batches
+    still exercise cross-micro-batch state merge."""
+    import shutil
+    import tempfile
+    import uuid
+    from pyspark.sql import functions as F2
+    from stumpy_spark.rollup.streaming import streaming_rollup
+
+    df = _tokseq(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_tsmp_stream_")
+    indir = os.path.join(root, "in")
+    os.makedirs(indir)
+    is_late = F2.pmod(F2.xxhash64("doc_id"), F2.lit(3)) == 0
+    for name, part in (("b0", df.where(~is_late)),
+                       ("b1", df.where(is_late))):
+        stage = os.path.join(root, f"stage_{name}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(p for p in os.listdir(stage)
+                   if p.startswith("part-") and p.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, src),
+                    os.path.join(indir, f"{name}.parquet"))
+
+    view = f"stream_1h_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(indir))
+    agg = streaming_rollup(stream, tier="1h", m=M_DEFAULT,
+                           watermark="365 days")
+    q = (agg.writeStream.format("memory").queryName(view)
+         .outputMode("complete")
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    out = spark.table(view).select(
+        "source", F.col("bucket").cast("string").alias("bucket"),
+        F.col("n_seq").cast("long").alias("n_seq"),
+        F.col("sum_n_tok").cast("long").alias("sum_n_tok"),
+        F.col("min_n_tok").cast("long").alias("min_n_tok"),
+        F.col("max_n_tok").cast("long").alias("max_n_tok"),
+        F.col("sum_window_sums").cast("long").alias("sum_window_sums"),
+        "min_mean", "max_mean").localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _q_retention_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1943,7 +1994,7 @@ def _q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100-TB path) — brute all-pairs cosine in SQL is its oracle."""
     from stumpy_spark.functions.simsearch import brute_near_dup
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return brute_near_dup(emb, threshold=0.45, round_decimals=6)
+    return brute_near_dup(emb, threshold=0.45, round_decimals=5)
 
 
 # -- rows-only queries (no SQL-expressible oracle; pytest covers them) ------
@@ -2014,14 +2065,14 @@ def _ann_recall_query(spark: SparkSession, sf_dir: str, pairs: DataFrame,
                                F.col("embedding").alias("cv")), "cand_id")
               .withColumn("score",
                           F.round(cosine_col(F.col("qv"),
-                                             F.col("cv")), 6)))
+                                             F.col("cv")), 5)))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("score").desc(), F.col("cand_id").asc()))
     lsh5 = (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 5).select("query_id", "cand_id"))
     brute5 = brute_knn(emb.select("vec_id", "embedding"),
                        queries.select("vec_id", "embedding").toPandas(),
-                       k=5, round_decimals=6).select("query_id", "cand_id")
+                       k=5, round_decimals=5).select("query_id", "cand_id")
     hits = (brute5.join(lsh5, ["query_id", "cand_id"])
             .groupBy("query_id").agg(F.count("*").alias("n_hits")))
     return (queries.select(F.col("vec_id").cast("long").alias("query_id"))
@@ -2274,6 +2325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode": _q_media_decode,
     "media_video": _q_media_video,
     "incremental_rollup_1h": _q_incremental_rollup_1h,
+    "stream_rollup_1h": _q_stream_rollup_1h,
     "retention_1h": _q_retention_1h,
     "sliding_minmax_m8": _q_sliding_minmax_m8,
     "stump_leftright_m8": _q_stump_leftright_m8,
@@ -2324,6 +2376,7 @@ _MERGE_SPEC: list[tuple[str, list[tuple[str, list[str] | None]]]] = [
         ("rollup_1d", None),
         ("rollup_1h_salted", None),
         ("incremental_rollup_1h", None),
+        ("stream_rollup_1h", None),
     ]),
     ("gapfill_1h_modes", [
         ("gapfill_1h",
@@ -2759,6 +2812,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _rollup_sql("minute", glob),
         "rollup_1h": _rollup_sql("hour", glob),
         "incremental_rollup_1h": _rollup_sql("hour", glob),
+        "stream_rollup_1h": _rollup_sql("hour", glob),
         "retention_1h": f"""
 WITH {_PERDOC_CTE.format(glob=glob, m=M_DEFAULT, m_minus_1=M_DEFAULT - 1)}
 SELECT source,
@@ -3143,7 +3197,7 @@ SELECT lang_pred, COUNT(*)::BIGINT AS n_docs FROM pred GROUP BY lang_pred
 WITH pairs AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                 CAST(c.embedding AS DOUBLE[])), 6)
+                 CAST(c.embedding AS DOUBLE[])), 5)
                AS score
     FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
     WHERE q.vec_id < 20
@@ -3526,9 +3580,9 @@ FROM p ASOF LEFT JOIN v
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings)
 SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS score
+       round(list_cosine_similarity(a.v, b.v), 5) AS score
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45
 """
     out["mmotifs_m8"] = _mmotifs_sql(glob)
     lsh_glob = os.path.join(_lsh_pairs_fixture(sf), "*.parquet")
@@ -3647,7 +3701,7 @@ dd AS (SELECT doc_id, i,
        FROM dist),
 prof AS (SELECT doc_id, i, MIN(d) AS p FROM dd GROUP BY doc_id, i)
 SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
-       ROUND(MIN(p), 6) AS min_p, ROUND(MAX(p), 6) AS max_p
+       ROUND(MIN(p), 5) AS min_p, ROUND(MAX(p), 5) AS max_p
 FROM prof GROUP BY doc_id
 """
     # Decoded facts must equal the fixture's pre-encode ground truth: the
@@ -3689,7 +3743,7 @@ WITH cand AS (SELECT query_id, cand_id FROM read_parquet('{pairs_glob}')),
 scored AS (
     SELECT c.query_id, c.cand_id,
            ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                 CAST(e.embedding AS DOUBLE[])), 6) AS score
+                 CAST(e.embedding AS DOUBLE[])), 5) AS score
     FROM cand c
     JOIN embeddings q ON q.vec_id = c.query_id
     JOIN embeddings e ON e.vec_id = c.cand_id
@@ -3704,7 +3758,7 @@ lsh5 AS (
 allp AS (
     SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
            ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                 CAST(e.embedding AS DOUBLE[])), 6) AS score
+                 CAST(e.embedding AS DOUBLE[])), 5) AS score
     FROM embeddings q JOIN embeddings e ON q.vec_id < 10
 ),
 brute5 AS (

@@ -246,6 +246,7 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16,
             "scaling_efficiency": best["scaling_efficiency"],
             "all_pair_efficiencies": [p["scaling_efficiency"]
                                       for p in pairs],
+            "pairs": pairs,
             "factor": hi // lo, "reps": reps}
 
 
@@ -255,43 +256,65 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16,
 PROBE_DEGRADED_GBS = 0.5
 
 
+#: max timed attempts while both probes sit in the degraded regime
+PROBE_MAX_ATTEMPTS = 4
+#: backoff between degraded attempts, seconds (60, 120, 180, ...)
+PROBE_BACKOFF_S = 60
+
+
 def run_with_probe_retry(cpus: int, sf_dir: str) -> dict:
-    """Probe-gated retry (ADVICE r3): the official per-round record
-    should reflect code, not host steal.  If the run was taken in a
+    """Probe-gated retry (ADVICE r3/r4): the official per-round record
+    should reflect code, not host steal.  While the run lands in a
     degraded host window (probe below PROBE_DEGRADED_GBS on both sides
-    of the timed section), wait once for the regime to shift and re-run;
-    keep the better total and record both attempts' probes."""
-    first = run_once(cpus, sf_dir)
-    degraded = (first["mem_probe_gbs_before"] < PROBE_DEGRADED_GBS
-                and first["mem_probe_gbs_after"] < PROBE_DEGRADED_GBS)
-    if not degraded:
-        return first
-    time.sleep(60)
-    second = run_once(cpus, sf_dir)
-    second["retry_of_degraded_run"] = {
-        "value": first["value"],
-        "mem_probe_gbs_before": first["mem_probe_gbs_before"],
-        "mem_probe_gbs_after": first["mem_probe_gbs_after"],
-    }
-    if second["value"] <= first["value"]:
-        return second
-    first["degraded_retry_worse"] = {
-        "value": second["value"],
-        "mem_probe_gbs_before": second["mem_probe_gbs_before"],
-        "mem_probe_gbs_after": second["mem_probe_gbs_after"],
-    }
-    return first
+    of the timed section), wait with linear backoff and re-run, up to
+    PROBE_MAX_ATTEMPTS attempts; keep the best total and record every
+    discarded attempt's wall + probes under ``degraded_attempts``."""
+    attempts = []
+    best = None
+    for i in range(PROBE_MAX_ATTEMPTS):
+        res = run_once(cpus, sf_dir)
+        if best is None or res["value"] < best["value"]:
+            best = res
+        attempts.append({
+            "value": res["value"],
+            "mem_probe_gbs_before": res["mem_probe_gbs_before"],
+            "mem_probe_gbs_after": res["mem_probe_gbs_after"],
+        })
+        degraded = (res["mem_probe_gbs_before"] < PROBE_DEGRADED_GBS
+                    and res["mem_probe_gbs_after"] < PROBE_DEGRADED_GBS)
+        if not degraded:
+            break
+        if i + 1 < PROBE_MAX_ATTEMPTS:
+            time.sleep(PROBE_BACKOFF_S * (i + 1))
+    if len(attempts) > 1:
+        best["degraded_attempts"] = [
+            a for a in attempts if a["value"] != best["value"]]
+    return best
+
+
+def _emit(obj: dict, args: list[str]) -> None:
+    """Print the one-line JSON; with ``--out FILE`` also write it as a
+    machine-readable artifact (VERDICT r4 #2: scaling + sf1 evidence
+    should be committed JSON, not prose)."""
+    line = json.dumps(obj)
+    print(line)
+    if "--out" in args:
+        path = args[args.index("--out") + 1]
+        with open(path, "w") as f:
+            f.write(line + "\n")
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--rollup-only":
-        print(json.dumps(_rollup_only(int(sys.argv[2]), sys.argv[3])))
+    args = sys.argv[1:]
+    if args and args[0] == "--rollup-only":
+        print(json.dumps(_rollup_only(int(args[1]), args[2])))
         return
-    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        sf = sys.argv[2] if len(sys.argv) > 2 else SF_DIR
-        print(json.dumps(run_scaling(sf)))
+    if args and args[0] == "--scaling":
+        sf = (args[1] if len(args) > 1 and not args[1].startswith("--")
+              else SF_DIR)
+        _emit(run_scaling(sf), args)
         return
-    print(json.dumps(run_with_probe_retry(CPUS, SF_DIR)))
+    _emit(run_with_probe_retry(CPUS, SF_DIR), args)
 
 
 if __name__ == "__main__":
