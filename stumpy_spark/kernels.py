@@ -504,6 +504,169 @@ def _rho_to_distance_inplace(rho, m, clamped=True):
 
 
 
+#: per-chunk cell budget for the diagonal kernel: B diagonals x L0 cells
+#: of float64 working set ~1 MB so every elementwise pass runs at cache
+#: bandwidth (immune to this host's DRAM steal; see BENCH/BASELINE.md)
+DIAG_CHUNK_CELLS = 131072
+
+#: pad length for the shifted-slice views (upper bound on chunk height)
+_DIAG_B_CAP = 1024
+
+#: below this many windows the single-tile GEMM path wins (chunk setup
+#: overhead dominates very short series); tuned by microbench
+DIAG_MIN_L = 64
+
+
+def _use_diag(l: int, m: int) -> bool:
+    """Empirical diag-vs-GEMM crossover (interleaved single-thread
+    sweep, BENCH/BASELINE.md round 5): BLAS tiles win while m is small
+    and the series is long (O(m) flops/cell amortize); the diagonal
+    kernel wins everywhere m is large and on short series where its
+    O(1)/cell cumsum beats tile setup."""
+    if l <= DIAG_MIN_L:
+        return False
+    return m >= 128 or (m >= 64 and l <= 1024)
+
+
+def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
+                  P, I, IL, IR, PL, PR):
+    """Self-join top-1 profile by vectorized diagonal STOMP.
+
+    The reference walks each diagonal with an njit scalar recurrence
+    (stomp.py:146-149); here a whole *chunk* of B consecutive diagonals
+    is one numpy working set: QT along diagonal ``d`` is
+    ``cumsum([QT[0,d], g_0, g_1, ...])`` with
+    ``g_i = T[i+m] T[i+d+m] - T[i] T[i+d]`` — every partial sum is an
+    integer below 2**53 when :func:`_qt_recurrence_ok` holds, so the
+    whole profile is bit-exact (drift-free, stricter than the
+    reference).  No window matrix is ever materialized: the factors are
+    shifted strided views of the 1-D series, so the chunk's DRAM
+    footprint is O(L0) regardless of m — O(n^2) total work with an
+    O(cache) working set.
+
+    Cells are laid out *skewed*: the physical buffer ``W`` stores
+    diagonal ``b`` shifted right by ``b``, making column ``c`` hold all
+    cells of profile column ``j = d0 + c`` — so BOTH the row-direction
+    and column-direction minima are plain axis-0 reductions (no
+    transpose, no gather), and the band ``|j - i| <= ez`` costs nothing
+    because diagonals start at ``d = ez + 1``.
+
+    Tie rule parity with the tiled kernel: right-side candidates arrive
+    in ascending ``j`` (strict ``<`` keeps the first), left-side
+    candidates arrive in *descending* ``i`` across chunks (``<=`` keeps
+    the last = smallest ``i``), and the final combine prefers the left
+    neighbor on exact ties — the same "ascending neighbor order" rule
+    the blocked kernels implement.
+    """
+    from numpy.lib.stride_tricks import as_strided
+
+    l = mu.shape[0]
+    pr_ = np.full(l, np.inf)
+    ir_ = np.full(l, -1, dtype=np.int64)
+    pl_ = np.full(l, np.inf)
+    il_ = np.full(l, -1, dtype=np.int64)
+    d0 = ez + 1
+    if d0 < l:
+        pad = _DIAG_B_CAP
+        T_pad = np.concatenate([T, np.zeros(pad)])
+        mu_pad = np.concatenate([mu, np.zeros(pad)])
+        if any_con:
+            con_pad = np.concatenate([con, np.zeros(pad, dtype=bool)])
+        # QT[0, d] for every diagonal in one exact pass (sums of <= m
+        # integer products, |sum| < 2**52 -> exact in any order)
+        qt0 = np.correlate(T, T[:m], mode="valid")
+        mmuA = m * mu
+        # fused scale: D^2 = -2m(rho - 1) = (QT - m mu_i mu_j) *
+        # (-2/(sig_i sig_j)) + 2m — the m cancels, the division becomes
+        # a reciprocal multiply, and the -2m/+1 passes fold away.
+        # sig == 0 (constant or all-NaN windows) maps to factor 0 ->
+        # D^2 = 2m, a harmless finite placeholder always overwritten by
+        # the con/fin masks below (no inf*0 NaNs can reach the argmin).
+        with np.errstate(divide="ignore"):
+            negfac = np.where(sig > 0.0, -2.0 / sig, 0.0)
+            rsig = np.where(sig > 0.0, 1.0 / sig, 0.0)
+        rsig_pad = np.concatenate([rsig, np.zeros(pad)])
+        twom = 2.0 * m
+        tmp = None
+        while d0 < l:
+            L0 = l - d0
+            B = max(1, min(_DIAG_B_CAP, DIAG_CHUNK_CELLS // L0, L0))
+            W = np.empty((B, L0 + B))
+            V = as_strided(W, shape=(B, L0),
+                           strides=(W.strides[0] + 8, 8))
+            if tmp is None or tmp.shape[0] < B or tmp.shape[1] < L0:
+                tmp = np.empty((B, L0))
+            t2 = tmp[:B, :L0]
+            V[:, 0] = qt0[d0:d0 + B]
+            if L0 > 1:
+                M1 = as_strided(T_pad[d0 + m:], (B, L0 - 1), (8, 8))
+                M0 = as_strided(T_pad[d0:], (B, L0 - 1), (8, 8))
+                np.multiply(M1, T[m:m + L0 - 1][None, :], out=V[:, 1:])
+                np.multiply(M0, T[:L0 - 1][None, :], out=t2[:, 1:])
+                V[:, 1:] -= t2[:, 1:]
+            np.cumsum(V, axis=1, out=V)
+            # QT -> squared distance in three fused passes; minima are
+            # tracked in D^2 space (sqrt is monotone, so argmin and the
+            # snap threshold are unchanged) and sqrt'ed once at the end
+            MmuB = as_strided(mu_pad[d0:], (B, L0), (8, 8))
+            MrsB = as_strided(rsig_pad[d0:], (B, L0), (8, 8))
+            # non-finite windows (mu = inf) legitimately produce
+            # inf/NaN cells here; the fin mask below overwrites them
+            with np.errstate(invalid="ignore"):
+                np.multiply(MmuB, mmuA[:L0][None, :], out=t2)
+                V -= t2
+                np.multiply(MrsB, negfac[:L0][None, :], out=t2)
+                V *= t2
+            V += twom
+            V[V < config.P_NORM_THRESHOLD] = 0.0
+            if any_con:
+                McB = as_strided(con_pad[d0:], (B, L0), (1, 1))
+                ca = con[:L0][None, :]
+                V[ca & McB] = 0.0
+                V[ca ^ McB] = float(m)
+            if not all_fin:
+                V[:, ~fin[:L0]] = np.inf       # row i non-finite
+                W[:, :L0][:, ~fin[d0:d0 + L0]] = np.inf   # col j
+            # the padded tail i >= l - d0 - b of each diagonal lands
+            # exactly in physical columns c >= L0 (one contiguous kill);
+            # the never-written left triangle c < b must also be +inf so
+            # the column-side argmin skips it
+            if B > 1:
+                W[:, L0:] = np.inf
+                bi = np.arange(B)
+                W[:, :B][bi[:, None] > np.arange(B)[None, :]] = np.inf
+            # row side: cell (b, i) is row i's right neighbor j=i+d0+b;
+            # first-argmin = smallest b = ascending-j tie rule
+            barg = np.argmin(V, axis=0)
+            ci = np.arange(L0)
+            vmin = V[barg, ci]
+            upd = vmin < pr_[:L0]
+            pr_[:L0][upd] = vmin[upd]
+            ir_[:L0][upd] = (ci + (d0 + barg))[upd]
+            # col side: physical column c holds column j = d0 + c;
+            # reversed argmin = largest b = smallest i; <= keeps the
+            # later (smaller-i) candidate on cross-chunk ties
+            Wv = W[:, :L0]
+            bargr = np.argmin(Wv[::-1], axis=0)
+            b_sel = B - 1 - bargr
+            wmin = Wv[b_sel, ci]
+            jj = d0 + ci
+            upd = wmin <= pl_[jj]
+            np.logical_and(upd, np.isfinite(wmin), out=upd)
+            jju = jj[upd]
+            pl_[jju] = wmin[upd]
+            il_[jju] = (ci - b_sel)[upd]
+            d0 += B
+    left_wins = (pl_ <= pr_) & np.isfinite(pl_)
+    P[:, 0] = np.sqrt(np.minimum(pl_, pr_))
+    I[:, 0] = np.where(left_wins, il_,
+                       np.where(np.isfinite(pr_), ir_, -1))
+    PL[:] = np.sqrt(pl_)
+    PR[:] = np.sqrt(pr_)
+    IL[:] = il_
+    IR[:] = ir_
+
+
 def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
                          all_fin, ez, compute_left_right,
                          P, I, IL, IR, PL, PR,
@@ -705,8 +868,9 @@ def matrix_profile(
     Semantics of stumpy/stump.py:513-753: for every subsequence of ``T_A``
     return the k nearest subsequences of ``T_B`` (z-normalized Euclidean),
     plus top-1 left/right neighbors for self-joins.  Executed as blocked
-    GEMM distance matrices (BLAS) rather than the reference's numba diagonal
-    recurrence — exact, vectorized, memory-bounded by ``block_rows``.
+    GEMM distance matrices (BLAS), or — for integer self-joins where
+    :func:`_use_diag` says it wins — the vectorized diagonal cumsum-STOMP
+    of :func:`_mp_top1_diag`; both exact, memory-bounded, vectorized.
 
     Returns ``(P, I, IL, IR)``: P (l, k) float64, I (l, k) int64,
     IL/IR (l,) int64 (-1 where absent; IL/IR are meaningless for AB-joins,
@@ -725,13 +889,6 @@ def matrix_profile(
     lb = B.shape[0] - m + 1
     ez = excl_zone(m) if self_join else -1
 
-    # contiguous copies: BLAS GEMM on strided sliding-window views falls
-    # off the fast path (~10x slower); l*m doubles is a cheap price
-    windows_B = np.ascontiguousarray(
-        np.lib.stride_tricks.sliding_window_view(B, m))
-    windows_A = windows_B if self_join else np.ascontiguousarray(
-        np.lib.stride_tricks.sliding_window_view(A, m))
-
     P = np.full((la, k), np.inf)
     I = np.full((la, k), -1, dtype=np.int64)
     IL = np.full(la, -1, dtype=np.int64)
@@ -742,6 +899,23 @@ def matrix_profile(
     any_con = bool(con_A.any()) or bool(con_B.any())
     all_fin_A = bool(fin_A.all())
     all_fin_B = bool(fin_B.all())
+    # diagonal fast path (self-join top-1): O(n^2) exact cumsum-STOMP
+    # with an O(cache) working set and no window matrix at all — taken
+    # for any m when provably drift-free (integer series)
+    if (self_join and k == 1 and _use_diag(la, m)
+            and _qt_recurrence_ok(A, m)):
+        _mp_top1_diag(A, mu_A, sig_A, m, con_A, fin_A, any_con,
+                      all_fin_A, ez, P, I, IL, IR, PL, PR)
+        if return_left_right_P:
+            return P, I, IL, IR, PL, PR
+        return P, I, IL, IR
+
+    # contiguous copies: BLAS GEMM on strided sliding-window views falls
+    # off the fast path (~10x slower); l*m doubles is a cheap price
+    windows_B = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(B, m))
+    windows_A = windows_B if self_join else np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(A, m))
     # large-m fast path: exact O(n^2) diagonal recurrence instead of
     # O(n^2 m) GEMM, taken only when provably drift-free (integer series)
     use_rec = (m >= QT_REC_MIN_M and _qt_recurrence_ok(A, m)

@@ -388,3 +388,49 @@ def test_topk_ties_constant_windows():
         npt.assert_allclose(P[i], D[order], atol=1e-9)
         exp_idx = np.where(np.isfinite(D[order]), order, -1)
         npt.assert_array_equal(I[i], exp_idx)
+
+
+def test_diag_kernel_parity_randomized():
+    """The vectorized diagonal-STOMP path (_mp_top1_diag) must agree
+    with the blocked GEMM path across lengths, window sizes, vocab
+    skews, constant runs, and NaN punctures.  Values may differ by
+    <=1 ULP (pair-orientation asymmetry, see _mp_top1_blocked_sym
+    docstring), so P/PL/PR compare at 1e-8 and indices must point at
+    equal-at-1e-8 distances."""
+    import numpy as np
+    from stumpy_spark import kernels
+
+    rng = np.random.default_rng(42)
+    for trial in range(18):
+        n = [150, 300, 700, 1500, 3000][trial % 5]
+        m = int(rng.choice([8, 64, 128, 192, 257]))
+        if n < 2 * m:
+            m = max(3, n // 4)
+        T = rng.integers(0, int(rng.choice([3, 56, 1000])),
+                         n).astype(float)
+        if rng.random() < 0.4:
+            i0 = rng.integers(0, n - m)
+            T[i0:i0 + m + 3] = 7.0
+        if rng.random() < 0.4:
+            T[rng.integers(0, n, 3)] = np.nan
+        l = n - m + 1
+        if not kernels._use_diag(l, m):
+            m = 192 if n >= 2 * 192 else m
+            if not kernels._use_diag(n - m + 1, m):
+                continue
+        r_diag = kernels.matrix_profile(T, m, return_left_right_P=True)
+        orig = kernels.DIAG_MIN_L
+        try:
+            kernels.DIAG_MIN_L = 10 ** 9        # force the GEMM path
+            r_gemm = kernels.matrix_profile(T, m,
+                                            return_left_right_P=True)
+        finally:
+            kernels.DIAG_MIN_L = orig
+        for nm, a, b in zip(["P", "I", "IL", "IR", "PL", "PR"],
+                            r_diag, r_gemm):
+            if nm in ("P", "PL", "PR"):
+                af = np.asarray(a, float).ravel()
+                bf = np.asarray(b, float).ravel()
+                d = np.abs(af - bf)
+                d[np.isinf(af) & np.isinf(bf)] = 0.0
+                assert np.nanmax(d) < 1e-8, (trial, nm, np.nanmax(d))
