@@ -431,6 +431,7 @@ def test_diag_kernel_parity_randomized():
             if nm in ("P", "PL", "PR"):
                 af = np.asarray(a, float).ravel()
                 bf = np.asarray(b, float).ravel()
-                d = np.abs(af - bf)
+                with np.errstate(invalid="ignore"):  # inf - inf below
+                    d = np.abs(af - bf)
                 d[np.isinf(af) & np.isinf(bf)] = 0.0
                 assert np.nanmax(d) < 1e-8, (trial, nm, np.nanmax(d))

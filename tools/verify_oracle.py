@@ -45,6 +45,11 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
+    out_path = None
+    if "--json" in args:  # write a machine-readable sweep artifact
+        i = args.index("--json")
+        out_path = args[i + 1]
+        del args[i:i + 2]
     if args and os.path.isdir(args[0]):
         sf_dir, only = args[0], set(args[1:])
     else:  # all args are query names; default sf dir
@@ -65,6 +70,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -74,11 +80,14 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)
+            record[name] = {"status": "spark_error"}
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows ({t_spark:.1f}s) "
                   f"[rows-only]")
+            record[name] = {"status": "rows_only", "rows": len(sdf),
+                            "spark_sec": round(t_spark, 1)}
             continue
         t0 = time.time()
         try:
@@ -86,6 +95,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             failures.append(name)
+            record[name] = {"status": "duckdb_error"}
             continue
         t_duck = time.time() - t0
         problems = []
@@ -103,11 +113,24 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)} "
                   f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)")
             failures.append(name)
+            record[name] = {"status": "mismatch", "problems": problems}
         else:
             print(f"OK    {name}: {len(sdf)} rows "
                   f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)")
+            record[name] = {"status": "ok", "rows": len(sdf),
+                            "spark_sec": round(t_spark, 1),
+                            "duckdb_sec": round(t_duck, 1)}
     spark.stop()
     print("FAILURES:", failures if failures else "none")
+    if out_path:
+        import json
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "n_ok": sum(1 for v in record.values()
+                                   if v["status"] == "ok"),
+                       "n_fail": len(failures),
+                       "failures": failures,
+                       "queries": record}, f, indent=1)
     return 1 if failures else 0
 
 
