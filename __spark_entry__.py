@@ -1771,6 +1771,225 @@ def _q_nan_window_stats_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "tokens").mapInPandas(run, schema=schema)
 
 
+def _q_kernel_internals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four previously pytest-only kernel internals through the driver
+    gate, as one same-schema composite (variant, doc_id, i, j, val):
+
+    - ``welford_m16``: :func:`kernels.welford_rolling_var` (the robust
+      rolling-variance contract of core.py:722-831).  Reported as
+      ``val = rint(var * 256) = ss*16 - ws^2`` — an exact integer for
+      int32 tokens (< 2^53), so the centered-cumsum float path is gated
+      bit-for-bit against DuckDB's integer arithmetic.
+    - ``fft_dot_m192``: :func:`kernels.sliding_dot_product` with the FFT
+      path genuinely dispatched (core.py:652-715 heuristic: m=192 > 128,
+      n ≈ 83k > 4096 — the doc-ordered concatenation of the first 200
+      docs, identical at every sf).  Integer tokens make every true dot
+      product an exact integer, so ``val = rint(QT[i])`` is exact iff
+      the FFT convolution is correct to < 0.5 absolute.
+    - ``mass_matrix_m8``: :func:`kernels.mass_distance_matrix`
+      (core.py:1836-2005) — rows must equal ``mass(Q[qi], T)``; three
+      query windows (qi = i column) from doc00000000 × all windows of
+      the sampled docs, z-norm m=8 bit-exact integer scheme.
+    - ``idx_to_mp_m8``: :func:`kernels.idx_to_mp` (core.py:2845-2916) —
+      neighbor indices from the top-1 self-join profile, distances
+      *reconstructed* through idx_to_mp's z-norm-rows path and compared
+      to the SQL profile distance (j = the argmin neighbor index,
+      smallest-j tie rule both sides).
+    """
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from stumpy_spark import kernels
+
+    schema = T.StructType([
+        T.StructField("variant", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("j", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+    cols = ["variant", "doc_id", "i", "j", "val"]
+    df = _tokseq(spark, sf_dir)
+
+    def run_welford(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                iv = np.rint(kernels.welford_rolling_var(a, 16) * 256.0)
+                rows += [("welford_m16", did, i, -1, float(x))
+                         for i, x in enumerate(iv)]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    wdf = (df.where((F.col("n_tok") >= 16) & (F.col("n_tok") <= 64)
+                    & F.col("doc_id").like("%0"))
+           .select("doc_id", "tokens").mapInPandas(run_welford, schema))
+
+    def run_fft(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for toks in pdf["toks"]:
+                t = np.asarray(toks, dtype=np.float64)
+                iv = np.rint(kernels.sliding_dot_product(t[:192], t))
+                rows += [("fft_dot_m192", "concat", i, -1, float(x))
+                         for i, x in enumerate(iv)]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    concat = (df.where(F.col("doc_id") < "doc00000200")
+              .groupBy().agg(F.flatten(F.transform(
+                  F.array_sort(F.collect_list(F.struct("doc_id", "tokens"))),
+                  lambda s: s["tokens"])).alias("toks")))
+    fdf = concat.mapInPandas(run_fft, schema)
+
+    q_row = (df.where(F.col("doc_id") == "doc00000000")
+             .select(F.slice("tokens", 1, 10).alias("q")).first())
+    Qm = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(
+        np.asarray(q_row.q, dtype=np.float64), 8))
+
+    def run_mass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                D = kernels.mass_distance_matrix(
+                    Qm, np.asarray(toks, dtype=np.float64))
+                for qi in range(D.shape[0]):
+                    rows += [("mass_matrix_m8", did, qi, pos, float(d))
+                             for pos, d in enumerate(D[qi])]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    mdf = (df.where((F.col("n_tok") >= 16) & (F.col("n_tok") <= 32)
+                    & F.col("doc_id").like("%2"))
+           .select("doc_id", "tokens").mapInPandas(run_mass, schema))
+
+    def run_idx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                P, I, _, _ = kernels.matrix_profile(a, 8)
+                Irow = I[:, 0]
+                rec = kernels.idx_to_mp(Irow, a, 8)
+                rows += [("idx_to_mp_m8", did, i, int(Irow[i]), float(rec[i]))
+                         for i in range(len(rec))]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    idf = (df.where((F.col("n_tok") >= 16) & (F.col("n_tok") <= 48)
+                    & F.col("doc_id").like("%1"))
+           .select("doc_id", "tokens").mapInPandas(run_idx, schema))
+
+    out = wdf.unionByName(fdf).unionByName(mdf).unionByName(idf)
+    return out.select("variant", "doc_id", "i", "j",
+                      F.round("val", 5).alias("val"))
+
+
+def _kernel_internals_sql(glob: str) -> str:
+    wl = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, 16))
+    ws = " + ".join(f"t{i}" for i in range(16))
+    ws2 = " + ".join(f"t{i}*t{i}" for i in range(16))
+    qdev = " + ".join(f"(q{i}-mu_q)*(q{i}-mu_q)" for i in range(8))
+    qdot = " + ".join(f"s.t{i}*qs.q{i}" for i in range(8))
+    return f"""
+WITH wtok AS (
+    SELECT doc_id, g.i - 1 AS pos, CAST(tq.tokens[g.i] AS BIGINT) AS t
+    FROM read_parquet('{glob}') tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+    WHERE n_tok BETWEEN 16 AND 64 AND doc_id LIKE '%0'
+),
+ww AS (
+    SELECT doc_id, pos, t AS t0, {wl}
+    FROM wtok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+wv AS (
+    SELECT doc_id, pos AS i,
+           CAST(({ws2})*16 - ({ws})*({ws}) AS DOUBLE) AS val
+    FROM ww WHERE t15 IS NOT NULL
+),
+coff AS (
+    -- per-doc global offset BEFORE exploding (a window over the lateral
+    -- product would sum preceding token rows, not preceding docs)
+    SELECT tokens,
+           COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base
+    FROM read_parquet('{glob}') WHERE doc_id < 'doc00000200'
+),
+gtok AS (
+    SELECT tq.base + g.i - 1 AS gpos, CAST(tq.tokens[g.i] AS BIGINT) AS v
+    FROM coff tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+),
+qg AS (SELECT gpos AS k, v AS qv FROM gtok WHERE gpos < 192),
+qt AS (
+    SELECT a.gpos - b.k AS i, SUM(a.v * b.qv) AS s, COUNT(*) AS c
+    FROM gtok a JOIN qg b ON a.gpos >= b.k
+    GROUP BY a.gpos - b.k
+),
+{_win8_cte(glob, 16, 32, prefix="mm")},
+mmf AS (SELECT * FROM mmstats WHERE doc_id LIKE '%2'),
+mq AS (
+    SELECT CAST(tokens[1:10] AS BIGINT[]) AS qa
+    FROM read_parquet('{glob}') WHERE doc_id = 'doc00000000'
+),
+mqw AS (
+    SELECT g.qi, {", ".join(f"qa[g.qi + {i + 1}] AS q{i}"
+                            for i in range(8))}
+    FROM mq, LATERAL (SELECT unnest(generate_series(0, 2)) AS qi) g
+),
+mqs AS (
+    SELECT qi, {", ".join(f"q{i}" for i in range(8))}, mu_q,
+           sqrt(({qdev}) / 8) AS sig_q
+    FROM (SELECT *, CAST({" + ".join(f"q{i}" for i in range(8))}
+                    AS DOUBLE)/8 AS mu_q FROM mqw)
+),
+md AS (
+    SELECT s.doc_id, qs.qi AS i, s.pos AS j,
+           CASE WHEN qs.sig_q = 0 AND s.sig = 0 THEN 0.0
+                WHEN qs.sig_q = 0 OR s.sig = 0 THEN 8.0
+                ELSE abs(16.0 * (1.0 - least(
+                    (CAST({qdot} AS DOUBLE) - (8*qs.mu_q)*s.mu)
+                    / (CASE WHEN (8*qs.sig_q)*s.sig < 1e-14
+                            THEN 1e-14 ELSE (8*qs.sig_q)*s.sig END),
+                    1.0))) END AS d2
+    FROM mmf s CROSS JOIN mqs qs
+),
+{_win8_cte(glob, 16, 48, prefix="ii")},
+iif AS (SELECT * FROM iistats WHERE doc_id LIKE '%1'),
+iid AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM iif a JOIN iif b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+iidd AS (SELECT doc_id, i, j,
+                sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+         FROM iid),
+iip AS (SELECT doc_id, i, MIN(d) AS p FROM iidd GROUP BY doc_id, i),
+iinn AS (
+    SELECT dd.doc_id, dd.i, MIN(dd.j) AS j
+    FROM iidd dd JOIN iip
+      ON dd.doc_id = iip.doc_id AND dd.i = iip.i AND dd.d = iip.p
+    GROUP BY dd.doc_id, dd.i
+)
+SELECT 'welford_m16' AS variant, doc_id, i::BIGINT AS i, -1::BIGINT AS j,
+       val FROM wv
+UNION ALL
+SELECT 'fft_dot_m192', 'concat', i::BIGINT, -1::BIGINT, CAST(s AS DOUBLE)
+FROM qt WHERE c = 192
+UNION ALL
+SELECT 'mass_matrix_m8', doc_id, i::BIGINT, j::BIGINT,
+       round(sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END), 5)
+FROM md
+UNION ALL
+SELECT 'idx_to_mp_m8', n.doc_id, n.i::BIGINT, n.j::BIGINT,
+       round(p.p, 5)
+FROM iinn n JOIN iip p ON n.doc_id = p.doc_id AND n.i = p.i
+"""
+
+
 def _nan_window_stats_sql(glob: str) -> str:
     leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, 8))
     fin = " AND ".join(f"t{i} IS NOT NULL" for i in range(8))
@@ -2356,6 +2575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split_90_5_5": _q_hash_split,
     "rollup_discord_1h": _q_rollup_discord_1h,
     "redact_pii": _q_redact_pii,
+    "kernel_internals": _q_kernel_internals,
 }
 
 
@@ -3284,6 +3504,7 @@ WHERE 1 = 0
     out["stimped_m8_16_long"] = _stimped_long_sql(glob)
     out["mstumped_m16_long"] = _mstumped_long_sql(glob)
     out["nan_window_stats_m8"] = _nan_window_stats_sql(glob)
+    out["kernel_internals"] = _kernel_internals_sql(glob)
     out["doc_quality"] = r"""
 WITH q AS (
   SELECT source,

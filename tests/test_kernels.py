@@ -209,6 +209,29 @@ def test_welford_rolling_var():
     npt.assert_allclose(ref, comp, rtol=1e-9)
 
 
+def test_sliding_dot_product_fft_dispatch(monkeypatch):
+    """The FFT path must actually be dispatched for m>128, n>4096 (the
+    shape the kernel_internals driver query relies on) and must agree
+    with the direct strided matvec to < 0.5 absolute on integer data
+    (the rint-exactness contract of that query's oracle)."""
+    rs = np.random.RandomState(7)
+    T = rs.randint(0, 50257, 8192).astype(np.float64)
+    Q = T[:192]
+    calls = []
+    orig = kernels._sliding_dot_product_fft
+
+    def spy(q, t):
+        calls.append(1)
+        return orig(q, t)
+
+    monkeypatch.setattr(kernels, "_sliding_dot_product_fft", spy)
+    qt = kernels.sliding_dot_product(Q, T)
+    assert calls, "FFT path not dispatched for m=192, n=8192"
+    direct = np.lib.stride_tricks.sliding_window_view(T, 192) @ Q
+    assert np.abs(qt - direct).max() < 0.5
+    npt.assert_array_equal(np.rint(qt), direct)
+
+
 def test_process_isconstant_hooks():
     from stumpy_spark import kernels
     rs = np.random.RandomState(3)
