@@ -1795,6 +1795,28 @@ def _q_kernel_internals(spark: SparkSession, sf_dir: str) -> DataFrame:
       *reconstructed* through idx_to_mp's z-norm-rows path and compared
       to the SQL profile distance (j = the argmin neighbor index,
       smallest-j tie rule both sides).
+    - ``isconstant_hook_m8``: the callable ``T_subseq_isconstant`` hook
+      of :func:`kernels.process_isconstant` (core.py:2612-2687): a
+      deterministic hook (window's first token divisible by 3) over a
+      NaN-punctured series; the contract under test is that the hook's
+      verdict is ANDed with ``rolling_isfinite`` (the reference's
+      fix_isconstant_isfinite_conflicts), so any window touching a NaN
+      reports 0 regardless of the hook.
+    - ``replace_dist_m8``: :func:`kernels.replace_distance`
+      (core.py:2335-2357) in-place masked assignment — the
+      non-normalized self-query distance profile (``mass_absolute`` of
+      each doc's first 8 tokens vs the doc) has its exact-0.0 entries
+      (guaranteed at i=0) replaced with -1; integer tokens make the
+      zero set bit-exact cross-engine (d == 0 iff the integer squared
+      sum is 0).
+    - ``discretize_b16``: :func:`anytime._discretize` — np.digitize
+      right=True (mstump.py:265-291) against 16 linspace bins over each
+      doc's [min, max].  Bins are built as (mn·15 + j·(mx-mn))/15.0 —
+      one float division of an exact int64 numerator — so the
+      bin-vs-token comparisons are provably equivalent to the oracle's
+      pure-integer inequality mn·15 + j·(mx-mn) < t·15 (exact-integer
+      bins are exactly representable; non-integer bins sit ≥ 1/15 from
+      any token with < 1 ulp of rounding error).
     """
     from collections.abc import Iterator
     import numpy as np
@@ -1882,7 +1904,64 @@ def _q_kernel_internals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & F.col("doc_id").like("%1"))
            .select("doc_id", "tokens").mapInPandas(run_idx, schema))
 
-    out = wdf.unionByName(fdf).unionByName(mdf).unionByName(idf)
+    def _hook(T: np.ndarray, m: int) -> np.ndarray:
+        first = T[:len(T) - m + 1]
+        return np.where(np.isfinite(first), first, 1.0) % 3 == 0
+
+    def run_hook(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                pos = np.arange(len(a))
+                a[(pos * 31 + len(a)) % 97 == 0] = np.nan
+                con = kernels.process_isconstant(a, 8, _hook)
+                rows += [("isconstant_hook_m8", did, i, -1, float(c))
+                         for i, c in enumerate(con)]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    hdf = (df.where((F.col("n_tok") >= 16) & (F.col("n_tok") <= 64)
+                    & F.col("doc_id").like("%3"))
+           .select("doc_id", "tokens").mapInPandas(run_hook, schema))
+
+    def run_repl(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                D = kernels.mass_absolute(a[:8], a)
+                kernels.replace_distance(D, 0.0, -1.0)
+                rows += [("replace_dist_m8", did, i, -1, float(v))
+                         for i, v in enumerate(D)]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    rdf = (df.where((F.col("n_tok") >= 16) & (F.col("n_tok") <= 32)
+                    & F.col("doc_id").like("%4"))
+           .select("doc_id", "tokens").mapInPandas(run_repl, schema))
+
+    def run_disc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stumpy_spark.anytime import _discretize
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                ai = np.asarray(toks, dtype=np.int64)
+                mn, mx = int(ai.min()), int(ai.max())
+                bins = (mn * 15 + np.arange(16, dtype=np.int64)
+                        * (mx - mn)) / 15.0
+                v = _discretize(ai.astype(np.float64), bins)
+                rows += [("discretize_b16", did, i, -1, float(x))
+                         for i, x in enumerate(v)]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    ddf = (df.where((F.col("n_tok") >= 16) & (F.col("n_tok") <= 64)
+                    & F.col("doc_id").like("%5"))
+           .select("doc_id", "tokens").mapInPandas(run_disc, schema))
+
+    out = (wdf.unionByName(fdf).unionByName(mdf).unionByName(idf)
+           .unionByName(hdf).unionByName(rdf).unionByName(ddf))
     return out.select("variant", "doc_id", "i", "j",
                       F.round("val", 5).alias("val"))
 
@@ -1893,6 +1972,11 @@ def _kernel_internals_sql(glob: str) -> str:
     ws2 = " + ".join(f"t{i}*t{i}" for i in range(16))
     qdev = " + ".join(f"(q{i}-mu_q)*(q{i}-mu_q)" for i in range(8))
     qdot = " + ".join(f"s.t{i}*qs.q{i}" for i in range(8))
+    hl = ", ".join(f"lead(t, {i}) OVER dw AS h{i}" for i in range(1, 8))
+    hfin = " AND ".join(f"h{i} IS NOT NULL" for i in range(8))
+    rssq = " + ".join(f"(s.t{i}-q.q{i})*(s.t{i}-q.q{i})" for i in range(8))
+    rqcols = ", ".join(f"CAST(tokens[{i + 1}] AS BIGINT) AS q{i}"
+                       for i in range(8))
     return f"""
 WITH wtok AS (
     SELECT doc_id, g.i - 1 AS pos, CAST(tq.tokens[g.i] AS BIGINT) AS t
@@ -1973,6 +2057,48 @@ iinn AS (
     FROM iidd dd JOIN iip
       ON dd.doc_id = iip.doc_id AND dd.i = iip.i AND dd.d = iip.p
     GROUP BY dd.doc_id, dd.i
+),
+hk AS (
+    SELECT doc_id, g.i - 1 AS pos,
+           CASE WHEN ((g.i - 1) * 31 + n_tok) % 97 = 0 THEN NULL
+                ELSE CAST(tq.tokens[g.i] AS BIGINT) END AS t
+    FROM read_parquet('{glob}') tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+    WHERE n_tok BETWEEN 16 AND 64 AND doc_id LIKE '%3'
+),
+hkw AS (
+    SELECT doc_id, pos, t AS h0, {hl}, lead(pos, 7) OVER dw AS pos7
+    FROM hk WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+hkv AS (
+    SELECT doc_id, pos AS i,
+           CASE WHEN {hfin} AND h0 % 3 = 0 THEN 1.0 ELSE 0.0 END AS val
+    FROM hkw WHERE pos7 IS NOT NULL
+),
+{_win8_cte(glob, 16, 32, prefix="rp")},
+rq AS (
+    SELECT doc_id, {rqcols}
+    FROM read_parquet('{glob}')
+    WHERE n_tok BETWEEN 16 AND 32 AND doc_id LIKE '%4'
+),
+rpd AS (
+    SELECT s.doc_id, s.pos AS i, {rssq} AS ssq
+    FROM rpstats s JOIN rq q ON s.doc_id = q.doc_id
+),
+dsc AS (
+    SELECT tq.doc_id, g.i - 1 AS pos, CAST(tq.tokens[g.i] AS BIGINT) AS t,
+           CAST(list_min(tq.tokens) AS BIGINT) AS mn,
+           CAST(list_max(tq.tokens) AS BIGINT) AS mx
+    FROM read_parquet('{glob}') tq,
+         LATERAL (SELECT unnest(generate_series(1, len(tq.tokens))) AS i) g
+    WHERE n_tok BETWEEN 16 AND 64 AND doc_id LIKE '%5'
+),
+dscv AS (
+    SELECT d.doc_id, d.pos AS i,
+           CAST(SUM(CASE WHEN d.mn * 15 + g.j * (d.mx - d.mn) < d.t * 15
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS val
+    FROM dsc d, (SELECT unnest(generate_series(0, 15)) AS j) g
+    GROUP BY d.doc_id, d.pos
 )
 SELECT 'welford_m16' AS variant, doc_id, i::BIGINT AS i, -1::BIGINT AS j,
        val FROM wv
@@ -1987,6 +2113,15 @@ UNION ALL
 SELECT 'idx_to_mp_m8', n.doc_id, n.i::BIGINT, n.j::BIGINT,
        round(p.p, 5)
 FROM iinn n JOIN iip p ON n.doc_id = p.doc_id AND n.i = p.i
+UNION ALL
+SELECT 'isconstant_hook_m8', doc_id, i::BIGINT, -1::BIGINT, val FROM hkv
+UNION ALL
+SELECT 'replace_dist_m8', doc_id, i::BIGINT, -1::BIGINT,
+       CASE WHEN ssq = 0 THEN -1.0
+            ELSE round(sqrt(CAST(ssq AS DOUBLE)), 5) END
+FROM rpd
+UNION ALL
+SELECT 'discretize_b16', doc_id, i::BIGINT, -1::BIGINT, val FROM dscv
 """
 
 
