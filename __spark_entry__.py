@@ -1332,14 +1332,17 @@ def _q_stumped_m16_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stumped_long_sql(glob: str, m: int = 16, band: int | None = None,
                       last_rows: int | None = None,
-                      right_only: bool = False) -> str:
+                      right_only: bool = False,
+                      normalize: bool = True) -> str:
     """Self-join profile SQL over the concatenated 12-doc series.
 
     ``band`` adds the co-residency predicate |i−j| ≤ band (the egress
     buffer contract); ``last_rows`` restricts the output to the final
     that-many window rows (the windows still resident at stream end);
     ``right_only`` keeps only j > i neighbors (the FLOSS right-profile
-    direction)."""
+    direction); ``normalize=False`` computes the non-normalized
+    (aamp/aamped, p = 2) distance — an exact-integer squared sum in
+    both engines."""
     leads = ", ".join(f"lead(t, {i}) OVER dw AS t{i}" for i in range(1, m))
     s = " + ".join(f"t{i}" for i in range(m))
     s2 = " + ".join(f"t{i}*t{i}" for i in range(m))
@@ -1377,7 +1380,10 @@ stats AS (
     FROM w WHERE t{m - 1} IS NOT NULL
 ),
 dist AS (
-    SELECT a.pos AS i, b.pos AS j, {_d2_expr_m('a', 'b', m)} AS d2
+    SELECT a.pos AS i, b.pos AS j,
+           {_d2_expr_m('a', 'b', m) if normalize else
+            "CAST(" + " + ".join(f"(a.t{i}-b.t{i})*(a.t{i}-b.t{i})"
+                                 for i in range(m)) + " AS DOUBLE)"} AS d2
     FROM stats a JOIN stats b ON {offs} > {ez}{band_pred}
 ),
 dd AS (SELECT i, j, sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
@@ -1388,6 +1394,29 @@ nn AS (SELECT dd.i, MIN(dd.j) AS j FROM dd
 SELECT prof.i::BIGINT AS i, prof.p, nn.j::BIGINT AS j
 FROM prof JOIN nn ON prof.i = nn.i
 """
+
+
+def _q_aamped_m16_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed NON-normalized long-series profile (the ``aamped``
+    analog, reference aamped.py:20-282) through the same tiled scale
+    path as stumped_m16_long — previously pytest-parity only, now under
+    the SQL oracle: same concatenated 12-doc series, m = 16, tile=512,
+    p = 2.  Every squared distance is an exact int64 sum in both
+    engines, so profile values AND smallest-j tie decisions are
+    bit-exact."""
+    import numpy as np
+    from stumpy_spark.plans.longseq import distributed_matrix_profile
+    rows = (_tokseq(spark, sf_dir)
+            .where((F.col("n_tok") >= 128) & (F.col("n_tok") <= 512))
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect())
+    T_arr = np.concatenate([np.asarray(r.tokens, dtype=np.float64)
+                            for r in rows])
+    prof = distributed_matrix_profile(spark, T_arr, 16, tile=512,
+                                      normalize=False)
+    prof = prof.toDF("i", "p", "j", "pl", "jl", "pr", "jr")
+    return prof.select(F.col("i").cast("long").alias("i"), "p",
+                       F.col("j").cast("long").alias("j"))
 
 
 def _q_stumpi_egress_m16(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2689,6 +2718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stump_summary_m16": _q_stump_summary_m16,
     "aampi_growing_m3": _q_aampi_growing_m3,
     "stumped_m16_long": _q_stumped_m16_long,
+    "aamped_m16_long": _q_aamped_m16_long,
     "mstumped_m16_long": _q_mstumped_m16_long,
     "nan_window_stats_m8": _q_nan_window_stats_m8,
     "doc_quality": _q_doc_quality,
@@ -2764,6 +2794,7 @@ _MERGE_SPEC: list[tuple[str, list[tuple[str, list[str] | None]]]] = [
     ]),
     ("stream_profiles_long", [
         ("stumped_m16_long", None),
+        ("aamped_m16_long", None),
         ("stumpi_egress_m16", None),
         ("floss_right_m16", None),
         ("aampi_egress_m12", None),
@@ -3624,6 +3655,7 @@ WHERE 1 = 0
     # as stumpi_growing -> stump): shares the aamp oracle verbatim
     out["aampi_growing_m3"] = out["aamp_m3_short"]
     out["stumped_m16_long"] = _stumped_long_sql(glob)
+    out["aamped_m16_long"] = _stumped_long_sql(glob, normalize=False)
     # egress stumpi: pairs compared exactly once while co-resident ->
     # banded self-join over the same series, last buffer's rows
     out["stumpi_egress_m16"] = _stumped_long_sql(
