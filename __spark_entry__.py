@@ -1846,6 +1846,27 @@ def _q_kernel_internals(spark: SparkSession, sf_dir: str) -> DataFrame:
       pure-integer inequality mn·15 + j·(mx-mn) < t·15 (exact-integer
       bins are exactly representable; non-integer bins sit ≥ 1/15 from
       any token with < 1 ulp of rounding error).
+    - ``match_callable_m8``: the CALLABLE ``max_distance`` hook of
+      :func:`mining.match` (motifs.py:404-470 ``max_distance(D)``): the
+      hook returns the median-rank element of the non-normalized
+      distance profile (doc00000000's first 8 tokens vs each doc), so
+      the threshold itself is a data-dependent value the oracle must
+      reproduce (emitted as the i=-1 row), and the greedy second match
+      is kept iff d2 ≤ thr — all comparisons are exact-integer squared
+      sums (tokens < 50257 keep every partial sum < 2^53).
+    - ``fluss_ciac_m8``: the ``custom_iac`` hook of :func:`mining.cac`
+      (floss.py:119-181): a constant idealized arc curve of 8.0 makes
+      every corrected-arc value the exact binary rational
+      min(arcs/8, 1) with integer arc counts, so the full CAC vector is
+      bit-exact cross-engine (edge zones L·excl_factor = 16 pinned 1.0).
+    - ``pan_binary_m4_8_16``: :func:`mining.pan_transform`
+      (stimp.py:272-330 + core.py:3214-3273) with normalize + binarize
+      + clip (contrast=False — the rank-percentile sigmoid stays under
+      pytest because its global argsort tie order is not robustly
+      cross-engine comparable): val = 0/1 from
+      min(1, P/(2√m)) ≤ 0.2 over the full (m, col) grid; columns past a
+      row's profile length take the NaN→1.0 path of the reference
+      transform.
     """
     from collections.abc import Iterator
     import numpy as np
@@ -1989,8 +2010,70 @@ def _q_kernel_internals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & F.col("doc_id").like("%5"))
            .select("doc_id", "tokens").mapInPandas(run_disc, schema))
 
+    qv8 = np.asarray(q_row.q, dtype=np.float64)[:8]
+
+    def run_match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stumpy_spark import mining
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                D0 = np.sort(kernels.mass_absolute(qv8, a))
+                thr = float(D0[len(D0) // 2])
+                res = mining.match(
+                    qv8, a, max_matches=2, normalize=False,
+                    max_distance=lambda D: float(
+                        np.sort(D)[len(D) // 2]))
+                rows.append(("match_callable_m8", did, -1, -1, thr))
+                rows += [("match_callable_m8", did, rank, int(idx),
+                          float(d)) for rank, (d, idx) in enumerate(res)]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    cdf = (df.where((F.col("n_tok") >= 16) & (F.col("n_tok") <= 32)
+                    & F.col("doc_id").like("%6"))
+           .select("doc_id", "tokens").mapInPandas(run_match, schema))
+
+    def run_ciac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stumpy_spark import mining
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                _, I, _, _ = kernels.matrix_profile(a, 8)
+                c = mining.cac(I[:, 0], 8, excl_factor=2,
+                               custom_iac=np.full(len(I), 8.0))
+                rows += [("fluss_ciac_m8", did, i, -1, float(v))
+                         for i, v in enumerate(c)]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    gdf = (df.where((F.col("n_tok") >= 48) & (F.col("n_tok") <= 64)
+                    & F.col("doc_id").like("%7"))
+           .select("doc_id", "tokens").mapInPandas(run_ciac, schema))
+
+    def run_pan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stumpy_spark import mining
+        for pdf in batches:
+            rows = []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                a = np.asarray(toks, dtype=np.float64)
+                pan = mining.stimp_pan(a, [4, 8, 16])
+                PAN = mining.pan_transform(pan, [4, 8, 16], len(a) - 3,
+                                           threshold=0.2, contrast=False)
+                for r, m in enumerate([4, 8, 16]):
+                    rows += [("pan_binary_m4_8_16", did, m, c, float(v))
+                             for c, v in enumerate(PAN[r])]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    pdf_ = (df.where((F.col("n_tok") >= 32) & (F.col("n_tok") <= 64)
+                     & F.col("doc_id").like("%8"))
+            .select("doc_id", "tokens").mapInPandas(run_pan, schema))
+
     out = (wdf.unionByName(fdf).unionByName(mdf).unionByName(idf)
-           .unionByName(hdf).unionByName(rdf).unionByName(ddf))
+           .unionByName(hdf).unionByName(rdf).unionByName(ddf)
+           .unionByName(cdf).unionByName(gdf).unionByName(pdf_))
     return out.select("variant", "doc_id", "i", "j",
                       F.round("val", 5).alias("val"))
 
@@ -2004,6 +2087,7 @@ def _kernel_internals_sql(glob: str) -> str:
     hl = ", ".join(f"lead(t, {i}) OVER dw AS h{i}" for i in range(1, 8))
     hfin = " AND ".join(f"h{i} IS NOT NULL" for i in range(8))
     rssq = " + ".join(f"(s.t{i}-q.q{i})*(s.t{i}-q.q{i})" for i in range(8))
+    mcssq = rssq
     rqcols = ", ".join(f"CAST(tokens[{i + 1}] AS BIGINT) AS q{i}"
                        for i in range(8))
     return f"""
@@ -2128,6 +2212,98 @@ dscv AS (
                          THEN 1 ELSE 0 END) AS DOUBLE) AS val
     FROM dsc d, (SELECT unnest(generate_series(0, 15)) AS j) g
     GROUP BY d.doc_id, d.pos
+),
+{_win8_cte(glob, 16, 32, prefix="mc")},
+mcq AS (
+    SELECT {", ".join(f"qa[{i + 1}] AS q{i}" for i in range(8))} FROM mq
+),
+mcd AS (
+    SELECT s.doc_id, s.pos AS j, {mcssq} AS ssq
+    FROM (SELECT * FROM mcstats WHERE doc_id LIKE '%6') s CROSS JOIN mcq q
+),
+mcr AS (
+    SELECT doc_id, ssq,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ssq) AS rn,
+           count(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM mcd
+),
+mcthr AS (SELECT doc_id, ssq AS thr_ssq FROM mcr WHERE rn = cnt // 2 + 1),
+mc1 AS (SELECT doc_id, MIN(ssq) AS ssq1 FROM mcd GROUP BY doc_id),
+mc1j AS (
+    SELECT d.doc_id, MIN(d.j) AS j1, MIN(d.ssq) AS ssq1
+    FROM mcd d JOIN mc1 ON d.doc_id = mc1.doc_id AND d.ssq = mc1.ssq1
+    GROUP BY d.doc_id
+),
+mc2 AS (
+    SELECT d.doc_id, MIN(d.ssq) AS ssq2
+    FROM mcd d JOIN mc1j m1 ON d.doc_id = m1.doc_id
+    WHERE abs(d.j - m1.j1) > 2
+    GROUP BY d.doc_id
+),
+mc2j AS (
+    SELECT d.doc_id, MIN(d.j) AS j2, MIN(d.ssq) AS ssq2
+    FROM mcd d JOIN mc1j m1 ON d.doc_id = m1.doc_id
+         JOIN mc2 ON d.doc_id = mc2.doc_id AND d.ssq = mc2.ssq2
+    WHERE abs(d.j - m1.j1) > 2
+    GROUP BY d.doc_id
+),
+{_win8_cte(glob, 48, 64, prefix="fc")},
+fcd AS (
+    SELECT a.doc_id, a.pos AS i, b.pos AS j, {_d2_expr('a', 'b')} AS d2
+    FROM (SELECT * FROM fcstats WHERE doc_id LIKE '%7') a
+         JOIN (SELECT * FROM fcstats WHERE doc_id LIKE '%7') b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > 2
+),
+fcdd AS (SELECT doc_id, i, j,
+                sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END) AS d
+         FROM fcd),
+fcp AS (SELECT doc_id, i, MIN(d) AS p FROM fcdd GROUP BY doc_id, i),
+fcnn AS (
+    SELECT dd.doc_id, dd.i, MIN(dd.j) AS nnj
+    FROM fcdd dd JOIN fcp
+      ON dd.doc_id = fcp.doc_id AND dd.i = fcp.i AND dd.d = fcp.p
+    GROUP BY dd.doc_id, dd.i
+),
+fcl AS (SELECT doc_id, COUNT(*) AS l FROM fcnn GROUP BY doc_id),
+fcarc AS (
+    SELECT p.doc_id, p.i AS i, COUNT(n.i) AS arcs
+    FROM fcnn p LEFT JOIN fcnn n
+      ON n.doc_id = p.doc_id AND least(n.i, n.nnj) <= p.i
+         AND greatest(n.i, n.nnj) > p.i
+    GROUP BY p.doc_id, p.i
+),
+fcv AS (
+    SELECT a.doc_id, a.i,
+           CASE WHEN a.i < 16 OR a.i >= l.l - 16 THEN 1.0
+                ELSE least(CAST(a.arcs AS DOUBLE) / 8.0, 1.0) END AS val
+    FROM fcarc a JOIN fcl l ON a.doc_id = l.doc_id
+),
+{_win_cte(glob, 32, 64, 4, prefix="pb4")},
+{_win8_cte(glob, 32, 64, prefix="pb8")},
+{_win_cte(glob, 32, 64, 16, prefix="pb16")},
+{_pan_prof_cte("pb4", 4, 1)},
+{_pan_prof_cte("pb8", 8, 2)},
+{_pan_prof_cte("pb16", 16, 4)},
+pbp AS (
+    SELECT doc_id, 4 AS m, i, p FROM pb4p
+    UNION ALL SELECT doc_id, 8, i, p FROM pb8p
+    UNION ALL SELECT doc_id, 16, i, p FROM pb16p
+),
+pbgrid AS (
+    SELECT d.doc_id, mm.m, g.c
+    FROM (SELECT doc_id, n_tok FROM read_parquet('{glob}')
+          WHERE n_tok BETWEEN 32 AND 64 AND doc_id LIKE '%8') d,
+         (SELECT unnest([4, 8, 16]) AS m) mm,
+         LATERAL (SELECT unnest(generate_series(0, d.n_tok - 4)) AS c) g
+),
+pbv AS (
+    SELECT g.doc_id, g.m, g.c,
+           CASE WHEN p.p IS NULL THEN 1.0
+                WHEN least(p.p * (1.0 / (2.0 * sqrt(CAST(g.m AS DOUBLE)))),
+                           1.0) <= 0.2 THEN 0.0
+                ELSE 1.0 END AS val
+    FROM pbgrid g LEFT JOIN pbp p
+      ON p.doc_id = g.doc_id AND p.m = g.m AND p.i = g.c
 )
 SELECT 'welford_m16' AS variant, doc_id, i::BIGINT AS i, -1::BIGINT AS j,
        val FROM wv
@@ -2151,7 +2327,37 @@ SELECT 'replace_dist_m8', doc_id, i::BIGINT, -1::BIGINT,
 FROM rpd
 UNION ALL
 SELECT 'discretize_b16', doc_id, i::BIGINT, -1::BIGINT, val FROM dscv
+UNION ALL
+SELECT 'match_callable_m8', doc_id, -1::BIGINT, -1::BIGINT,
+       round(sqrt(CAST(thr_ssq AS DOUBLE)), 5) FROM mcthr
+UNION ALL
+SELECT 'match_callable_m8', doc_id, 0::BIGINT, j1::BIGINT,
+       round(sqrt(CAST(ssq1 AS DOUBLE)), 5) FROM mc1j
+UNION ALL
+SELECT 'match_callable_m8', m2.doc_id, 1::BIGINT, m2.j2::BIGINT,
+       round(sqrt(CAST(m2.ssq2 AS DOUBLE)), 5)
+FROM mc2j m2 JOIN mcthr t ON m2.doc_id = t.doc_id
+WHERE m2.ssq2 <= t.thr_ssq
+UNION ALL
+SELECT 'fluss_ciac_m8', doc_id, i::BIGINT, -1::BIGINT, val FROM fcv
+UNION ALL
+SELECT 'pan_binary_m4_8_16', doc_id, m::BIGINT, c::BIGINT, val FROM pbv
 """
+
+
+def _pan_prof_cte(prefix: str, m: int, ez: int) -> str:
+    """Per-position top-1 z-norm profile over '%8' docs for one pan row."""
+    return f"""{prefix}d AS (
+    SELECT a.doc_id, a.pos AS i, {_d2_expr_m('a', 'b', m)} AS d2
+    FROM (SELECT * FROM {prefix}stats WHERE doc_id LIKE '%8') a
+         JOIN (SELECT * FROM {prefix}stats WHERE doc_id LIKE '%8') b
+      ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) > {ez}
+),
+{prefix}p AS (
+    SELECT doc_id, i,
+           MIN(sqrt(CASE WHEN d2 < 1e-14 THEN 0.0 ELSE d2 END)) AS p
+    FROM {prefix}d GROUP BY doc_id, i
+)"""
 
 
 def _nan_window_stats_sql(glob: str) -> str:
