@@ -361,6 +361,22 @@ def _q_mpdist_pairs_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mpdist_pairs(df, pairs, 8).select("id_a", "id_b", "mpdist")
 
 
+def _q_mpdist_custom_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPdist with the ``custom_func`` selector hook (core.py:3276-3312):
+    the hook receives the UNSORTED AB-first ``P_ABBA`` concatenation and
+    here returns its median-rank element — a data-dependent value the
+    oracle reproduces by rank, so the hook's plumbing (unsorted input,
+    replaced selection) is under the hard record, not just pytest."""
+    import numpy as np
+    from stumpy_spark.operators.discovery import mpdist_pairs
+    df = _short_docs(spark, sf_dir)
+    pairs = _consecutive_pairs(df.select("doc_id"))
+    res = mpdist_pairs(
+        df, pairs, 8,
+        custom_func=lambda abba: float(np.sort(abba)[len(abba) // 2]))
+    return res.select("id_a", "id_b", "mpdist")
+
+
 def _q_fluss_m8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLUSS regime detection: corrected arc curve minimum + the single
     n_regimes=2 regime location (floss.py:119-302 semantics)."""
@@ -2894,6 +2910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": _q_lang_id,
     "knn_top1": _q_knn_top1,
     "mpdist_pairs_m8": _q_mpdist_pairs_m8,
+    "mpdist_custom_m8": _q_mpdist_custom_m8,
     "fluss_m8": _q_fluss_m8,
     "chains_m8": _q_chains_m8,
     "motif_top1_m8": _q_motif_top1_m8,
@@ -2988,6 +3005,7 @@ _MERGE_SPEC: list[tuple[str, list[tuple[str, list[str] | None]]]] = [
     ]),
     ("dist_pairs", [
         ("mpdist_pairs_m8", None),
+        ("mpdist_custom_m8", None),
         ("aampdist_pairs_m3", None),
     ]),
     ("mstump_variants", [
@@ -3204,7 +3222,9 @@ nn AS (SELECT dd.doc_id, dd.i, MIN(dd.j) AS nnj
        GROUP BY dd.doc_id, dd.i)"""
 
 
-def _mpdist_sql(glob: str) -> str:
+def _mpdist_sql(glob: str, median: bool = False) -> str:
+    sel = ("((k.na - 7) + (k.nb - 7)) // 2" if median
+           else "CAST(ceil(0.05 * (k.na + k.nb)) AS BIGINT)")
     return f"""
 WITH {_win8_cte(glob, 16, 64)},
 docn AS (SELECT doc_id, n_tok FROM read_parquet('{glob}')
@@ -3236,7 +3256,7 @@ ranked AS (SELECT id_a, id_b, p,
            FROM abba)
 SELECT r.id_a, r.id_b, r.p AS mpdist
 FROM ranked r JOIN prsf k ON r.id_a = k.id_a AND r.id_b = k.id_b
-WHERE r.rn = CAST(ceil(0.05 * (k.na + k.nb)) AS BIGINT)
+WHERE r.rn = {sel}
 """
 
 
@@ -4192,6 +4212,7 @@ WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45
     out["aampdist_pairs_m3"] = _aampdist_sql(glob)
     out["subspace_m8"] = _subspace_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
+    out["mpdist_custom_m8"] = _mpdist_sql(glob, median=True)
     out["fluss_m8"] = _fluss_sql(glob)
     out["chains_m8"] = _chains_sql(glob)
     out["motif_top1_m8"] = _motif_sql(glob)

@@ -96,13 +96,15 @@ _MPDIST_SCHEMA = T.StructType([
 def mpdist_pairs(df: DataFrame, pairs: DataFrame, m: int,
                  percentage: float = 0.05, normalize: bool = True,
                  id_col: str = "doc_id",
-                 tokens_col: str = "tokens") -> DataFrame:
+                 tokens_col: str = "tokens", custom_func=None) -> DataFrame:
     """MPdist for explicit (id_a, id_b) pairs.
 
     The token arrays are joined onto the pair relation (two hash joins on
     doc id — high-cardinality, unskewed), then each pair is one kernel
     call.  At scale, pre-bucket df by doc_id so both joins are
-    shuffle-free."""
+    shuffle-free.  ``custom_func(P_ABBA) -> float`` replaces the
+    k-th-smallest selection (the core.py:3276-3312 hook, threaded to
+    :func:`mining.mpdist` with the unsorted AB-first concatenation)."""
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(tokens_col).alias("_toks_a"))
     b = df.select(F.col(id_col).alias("id_b"),
@@ -119,7 +121,8 @@ def mpdist_pairs(df: DataFrame, pairs: DataFrame, m: int,
                 if min(len(ta), len(tb)) < m:
                     continue
                 d = mining.mpdist(ta, tb, m, percentage=percentage,
-                                  normalize=normalize)
+                                  normalize=normalize,
+                                  custom_func=custom_func)
                 rows.append((ia, ib, d))
             if rows:
                 yield pd.DataFrame(rows, columns=["id_a", "id_b",
