@@ -372,6 +372,39 @@ def mass(
     return D
 
 
+def mueen_calculate_distance_profile(Q: np.ndarray,
+                                     T: np.ndarray) -> np.ndarray:
+    """Mueen's cumulative-sum distance-profile algebra (the MASS
+    precursor, DOI 10.1109/ICDM.2016.0179 Table II; contract of
+    core.py:1502-1567, including its fixed off-by-one — the cumulative
+    sums get an explicit leading 0 so window 0's sum is included).
+
+    Expands the z-norm distance directly from prefix sums of T and T²
+    plus one sliding dot product of the normalized query — no per-window
+    mean/std arrays of T are formed first.  Faithful to the reference:
+    NO constant-window or non-finite guards (a zero-variance window
+    divides by 0, exactly as upstream); :func:`mass` is the production
+    path with the full special-case contract.
+    """
+    Q = np.asarray(Q, dtype=np.float64)
+    T = np.asarray(T, dtype=np.float64)
+    n, m = len(T), len(Q)
+    qn = (Q - Q.mean()) / Q.std()
+    QT = sliding_dot_product(qn, T)
+    cs = np.zeros(n + 1)
+    np.cumsum(T, out=cs[1:])
+    cs2 = np.zeros(n + 1)
+    np.cumsum(T * T, out=cs2[1:])
+    s1 = cs[m:] - cs[:n - m + 1]
+    s2 = cs2[m:] - cs2[:n - m + 1]
+    mu = s1 / m
+    var = np.abs(s2 / m - mu * mu)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        D2 = np.abs((s2 - 2.0 * s1 * mu + m * mu * mu) / var
+                    - 2.0 * QT / np.sqrt(var) + m)
+    return np.sqrt(D2)
+
+
 # ---------------------------------------------------------------------------
 # matrix profile (batch, one series pair, exact)
 # ---------------------------------------------------------------------------

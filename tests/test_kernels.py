@@ -458,3 +458,22 @@ def test_diag_kernel_parity_randomized():
                     d = np.abs(af - bf)
                 d[np.isinf(af) & np.isinf(bf)] = 0.0
                 assert np.nanmax(d) < 1e-8, (trial, nm, np.nanmax(d))
+
+
+def test_mueen_distance_profile_equals_mass():
+    """Mueen's cumulative-sum algebra (core.py:1502-1567) must equal the
+    production MASS profile wherever no special case fires (random data
+    has no constant or non-finite windows)."""
+    rs = np.random.RandomState(53)
+    for n, m in [(64, 8), (200, 25), (128, 3)]:
+        T = rs.uniform(-100, 100, n)
+        Q = rs.uniform(-100, 100, m)
+        ref = kernels.mass(Q, T)
+        comp = kernels.mueen_calculate_distance_profile(Q, T)
+        npt.assert_almost_equal(ref, comp, decimal=PRECISION)
+    # integer tokens (the workload dtype) — same equality
+    T = rs.randint(0, 50257, 150).astype(np.float64)
+    Q = T[10:22].copy()
+    npt.assert_almost_equal(
+        kernels.mass(Q, T),
+        kernels.mueen_calculate_distance_profile(Q, T), decimal=PRECISION)
