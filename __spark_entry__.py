@@ -1102,6 +1102,25 @@ def _q_aampdist_pairs_m3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "mpdist")
 
 
+def _q_mpdist_mpfunc_m3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mp_func`` injection hook of MPdist (core.py:2737-2774): the
+    injected kernel is the non-normalized p=2 AB profile, so the result
+    must equal ``aampdist`` — reached through the hook plumbing rather
+    than the ``normalize=False`` reroute.  Shares the aampdist oracle
+    SQL verbatim; a hook that is silently ignored (falling back to the
+    z-norm default kernel) fails the value hash."""
+    import numpy as np
+    from stumpy_spark import kernels
+    from stumpy_spark.operators.discovery import mpdist_pairs
+    df = _tokseq(spark, sf_dir).where(F.col("n_tok") <= 64)
+    pairs = _consecutive_pairs(df.select("doc_id"))
+    res = mpdist_pairs(
+        df, pairs, 3,
+        mp_func=lambda T, m, T_B: kernels.matrix_profile_absolute(
+            T, m, T_B=T_B)[0][:, 0])
+    return res.select("id_a", "id_b", "mpdist")
+
+
 def _aampdist_sql(glob: str) -> str:
     dd = " + ".join(f"(a.t{i}-b.t{i})*(a.t{i}-b.t{i})" for i in range(3))
     return f"""
@@ -2937,6 +2956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stump_leftright_m8": _q_stump_leftright_m8,
     "stump_topk_m8": _q_stump_topk_m8,
     "aampdist_pairs_m3": _q_aampdist_pairs_m3,
+    "mpdist_mpfunc_m3": _q_mpdist_mpfunc_m3,
     "subspace_m8": _q_subspace_m8,
     "stump_summary_m16": _q_stump_summary_m16,
     "aampi_growing_m3": _q_aampi_growing_m3,
@@ -3007,6 +3027,7 @@ _MERGE_SPEC: list[tuple[str, list[tuple[str, list[str] | None]]]] = [
         ("mpdist_pairs_m8", None),
         ("mpdist_custom_m8", None),
         ("aampdist_pairs_m3", None),
+        ("mpdist_mpfunc_m3", None),
     ]),
     ("mstump_variants", [
         ("mstump_m8", None),
@@ -4210,6 +4231,9 @@ WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45
     out["stump_leftright_m8"] = _leftright_sql(glob)
     out["stump_topk_m8"] = _topk_sql(glob)
     out["aampdist_pairs_m3"] = _aampdist_sql(glob)
+    # mp_func injection: the injected non-normalized kernel must land on
+    # the aampdist oracle exactly (core.py:2737-2774 hook contract)
+    out["mpdist_mpfunc_m3"] = _aampdist_sql(glob)
     out["subspace_m8"] = _subspace_sql(glob)
     out["mpdist_pairs_m8"] = _mpdist_sql(glob)
     out["mpdist_custom_m8"] = _mpdist_sql(glob, median=True)

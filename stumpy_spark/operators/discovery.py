@@ -96,7 +96,8 @@ _MPDIST_SCHEMA = T.StructType([
 def mpdist_pairs(df: DataFrame, pairs: DataFrame, m: int,
                  percentage: float = 0.05, normalize: bool = True,
                  id_col: str = "doc_id",
-                 tokens_col: str = "tokens", custom_func=None) -> DataFrame:
+                 tokens_col: str = "tokens", custom_func=None,
+                 mp_func=None) -> DataFrame:
     """MPdist for explicit (id_a, id_b) pairs.
 
     The token arrays are joined onto the pair relation (two hash joins on
@@ -104,7 +105,9 @@ def mpdist_pairs(df: DataFrame, pairs: DataFrame, m: int,
     call.  At scale, pre-bucket df by doc_id so both joins are
     shuffle-free.  ``custom_func(P_ABBA) -> float`` replaces the
     k-th-smallest selection (the core.py:3276-3312 hook, threaded to
-    :func:`mining.mpdist` with the unsorted AB-first concatenation)."""
+    :func:`mining.mpdist` with the unsorted AB-first concatenation);
+    ``mp_func(T, m, T_B) -> 1-D AB profile`` replaces the profile
+    kernel itself (core.py:2737-2774)."""
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(tokens_col).alias("_toks_a"))
     b = df.select(F.col(id_col).alias("id_b"),
@@ -122,7 +125,7 @@ def mpdist_pairs(df: DataFrame, pairs: DataFrame, m: int,
                     continue
                 d = mining.mpdist(ta, tb, m, percentage=percentage,
                                   normalize=normalize,
-                                  custom_func=custom_func)
+                                  custom_func=custom_func, mp_func=mp_func)
                 rows.append((ia, ib, d))
             if rows:
                 yield pd.DataFrame(rows, columns=["id_a", "id_b",
