@@ -57,6 +57,27 @@ def test_mpdist_pairs_operator(spark, seq_df):
                                        decimal=5)
 
 
+def test_mpdist_pairs_hook_threading(spark, seq_df):
+    """custom_func / mp_func reach mining.mpdist through the operator
+    (core.py:3276-3312 / 2737-2774 hooks): the selector must see the
+    UNSORTED AB-first P_ABBA, and the injected non-normalized kernel
+    must reproduce aampdist."""
+    from stumpy_spark import kernels
+    df, raw = seq_df
+    pairs = spark.createDataFrame(
+        pd.DataFrame([("doc0", "doc1")], columns=["id_a", "id_b"]))
+    sel = lambda abba: float(np.sort(abba)[len(abba) // 2])  # noqa: E731
+    res = D.mpdist_pairs(df, pairs, 8, custom_func=sel).toPandas()
+    exp = mining.mpdist(raw["doc0"], raw["doc1"], 8, custom_func=sel)
+    np.testing.assert_almost_equal(res.mpdist[0], exp, decimal=5)
+
+    mpf = lambda T, m, T_B: kernels.matrix_profile_absolute(  # noqa: E731
+        T, m, T_B=T_B)[0][:, 0]
+    res = D.mpdist_pairs(df, pairs, 8, mp_func=mpf).toPandas()
+    exp = mining.mpdist(raw["doc0"], raw["doc1"], 8, normalize=False)
+    np.testing.assert_almost_equal(res.mpdist[0], exp, decimal=5)
+
+
 def test_snippets_operator(spark, seq_df):
     df, _ = seq_df
     res = D.snippets(df, 16, k=2).toPandas()
