@@ -485,14 +485,13 @@ class _QTProvider:
         self.m = m
         self.TA, self.TB = TA, TB
         self.use_rec = TA is not None
+        self._mmu_A = None        # sqdist() scale vectors, lazily built
 
-    def pearson(self, r0, r1, c0, c1, clamp=True):
+    def _qt(self, r0, r1, c0, c1):
+        """Raw dot-product tile (GEMM, or GEMV-border + recurrence)."""
         m = self.m
         if not self.use_rec:
-            QT = self.wA[r0:r1] @ self.wB[c0:c1].T
-            return _pearson_from_qt(
-                QT, self.mu_A[r0:r1], self.sig_A[r0:r1],
-                self.mu_B[c0:c1], self.sig_B[c0:c1], m, clamp=clamp)
+            return self.wA[r0:r1] @ self.wB[c0:c1].T
         nr, nc = r1 - r0, c1 - c0
         QT = np.empty((nr, nc))
         QT[0, :] = self.wB[c0:c1] @ self.wA[r0]
@@ -513,9 +512,39 @@ class _QTProvider:
                 QT[i, 1:] = buf
         elif nr > 1:
             QT[1:, 0] = self.wA[r0 + 1:r1] @ self.wB[c0]
-        return _pearson_from_qt(QT, self.mu_A[r0:r1], self.sig_A[r0:r1],
-                                self.mu_B[c0:c1], self.sig_B[c0:c1], m,
-                                clamp=clamp)
+        return QT
+
+    def pearson(self, r0, r1, c0, c1, clamp=True):
+        return _pearson_from_qt(
+            self._qt(r0, r1, c0, c1), self.mu_A[r0:r1], self.sig_A[r0:r1],
+            self.mu_B[c0:c1], self.sig_B[c0:c1], self.m, clamp=clamp)
+
+    def sqdist(self, r0, r1, c0, c1):
+        """Tile straight to *squared* z-norm distance, fused:
+        ``D^2 = (QT - m mu_i mu_j) * (-2/(sig_i sig_j)) + 2m`` with the
+        snap-to-zero threshold applied in squared space (sqrt is
+        monotone, so argmin/threshold semantics are unchanged; same
+        algebra as the diagonal kernel).  Saves the divide, the rho
+        round-trip and the per-cell sqrt of ``pearson`` +
+        ``_rho_to_distance_inplace``.  ``sig == 0`` (constant /
+        non-finite windows) maps to factor 0 -> D^2 = 2m, a finite
+        placeholder always overwritten by the caller's con/fin masks."""
+        m = self.m
+        if self._mmu_A is None:
+            with np.errstate(divide="ignore"):
+                self._mmu_A = m * self.mu_A
+                self._negfac_A = np.where(self.sig_A > 0.0,
+                                          -2.0 / self.sig_A, 0.0)
+                self._mu_B_v = self.mu_B
+                self._rsig_B = np.where(self.sig_B > 0.0,
+                                        1.0 / self.sig_B, 0.0)
+        QT = self._qt(r0, r1, c0, c1)
+        with np.errstate(invalid="ignore"):
+            QT -= np.outer(self._mmu_A[r0:r1], self._mu_B_v[c0:c1])
+            QT *= np.outer(self._negfac_A[r0:r1], self._rsig_B[c0:c1])
+        QT += 2.0 * m
+        QT[QT < config.P_NORM_THRESHOLD] = 0.0
+        return QT
 
 
 def _rho_to_distance_inplace(rho, m, clamped=True):
@@ -555,10 +584,16 @@ def _use_diag(l: int, m: int) -> bool:
     sweep, BENCH/BASELINE.md round 5): BLAS tiles win while m is small
     and the series is long (O(m) flops/cell amortize); the diagonal
     kernel wins everywhere m is large and on short series where its
-    O(1)/cell cumsum beats tile setup."""
+    O(1)/cell cumsum beats tile setup.  Re-tuned after the fused
+    squared-space tile path sped GEMM ~1.3x: the crossover moved up
+    (m>=160 on long series; m>=128 at l<=4096; m>=96 at l<=2048)."""
     if l <= DIAG_MIN_L:
         return False
-    return m >= 128 or (m >= 64 and l <= 1024)
+    if m >= 160:
+        return True
+    if m >= 128:
+        return l <= 4096
+    return m >= 96 and l <= 2048
 
 
 def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
@@ -711,6 +746,9 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
     minima update cols (left-side neighbors).  Candidates for any index
     arrive in ascending neighbor order, so first-strictly-smaller updates
     reproduce the argmin-first-index tie rule of the row-wise kernel.
+    Tiles and running minima live in *squared*-distance space
+    (``qtp.sqdist``); sqrt runs once over the final l-vectors, like the
+    diagonal kernel.
 
     ULP note: a pair (i, j) that falls inside a diagonal-crossing tile is
     seen in both orientations, and the Pearson normalization is not
@@ -744,13 +782,12 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
             c1 = min(c0 + bc, l)
             if c1 <= r0:
                 continue                      # strictly lower tile grid
-            D = qtp.pearson(r0, r1, c0, c1, clamp=False)
-            _rho_to_distance_inplace(D, m, clamped=False)
+            D = qtp.sqdist(r0, r1, c0, c1)    # squared space throughout
             if any_con:
                 ca = con[r0:r1][:, None]
                 cb = con[c0:c1][None, :]
                 D[ca & cb] = 0.0
-                D[ca ^ cb] = math.sqrt(m)
+                D[ca ^ cb] = float(m)
             if not all_fin:
                 D[~fin[r0:r1], :] = np.inf
                 D[:, ~fin[c0:c1]] = np.inf
@@ -799,11 +836,11 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
                     ir = np.argmin(buf, axis=0)
                     vri = buf[ir, cc]
                     upd(bl_p, bl_j, cols_abs, vri, ir + r0)
-    P[:, 0] = best_p
+    P[:, 0] = np.sqrt(best_p)
     I[:, 0] = np.where(np.isfinite(best_p), best_j, -1)
     if compute_left_right:
-        PL[:] = bl_p
-        PR[:] = br_p
+        PL[:] = np.sqrt(bl_p)
+        PR[:] = np.sqrt(br_p)
         IL[:] = np.where(np.isfinite(bl_p), bl_j, -1)
         IR[:] = np.where(np.isfinite(br_p), br_j, -1)
 
@@ -814,7 +851,9 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
                      P, I, IL, IR, PL, PR,
                      br: int = 128, bc: int = 128):
     """Top-1 matrix profile over (br × bc) cache-resident tiles with
-    running per-row minima (and left/right minima for self-joins)."""
+    running per-row minima (and left/right minima for self-joins).
+    Squared-distance space throughout (``qtp.sqdist``), sqrt once per
+    finished row block."""
     la = windows_A.shape[0]
     lb = windows_B.shape[0]
     if la * lb <= ONE_TILE_CELLS:
@@ -833,13 +872,12 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
         br_j = np.full(nr, -1, dtype=np.int64)
         for c0 in range(0, lb, bc):
             c1 = min(c0 + bc, lb)
-            D = qtp.pearson(r0, r1, c0, c1, clamp=False)
-            _rho_to_distance_inplace(D, m, clamped=False)
+            D = qtp.sqdist(r0, r1, c0, c1)    # squared space throughout
             if any_con:
                 ca = con_A[r0:r1][:, None]
                 cb = con_B[c0:c1][None, :]
                 D[ca & cb] = 0.0
-                D[ca ^ cb] = math.sqrt(m)
+                D[ca ^ cb] = float(m)
             if not all_fin_A:
                 D[~fin_A[r0:r1], :] = np.inf
             if not all_fin_B:
@@ -878,11 +916,11 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
                     upd = vr < br_p
                     br_p[upd] = vr[upd]
                     br_j[upd] = jr[upd] + c0
-        P[rows_abs, 0] = best_p
+        P[rows_abs, 0] = np.sqrt(best_p)
         I[rows_abs, 0] = np.where(np.isfinite(best_p), best_j, -1)
         if self_join and compute_left_right:
-            PL[rows_abs] = bl_p
-            PR[rows_abs] = br_p
+            PL[rows_abs] = np.sqrt(bl_p)
+            PR[rows_abs] = np.sqrt(br_p)
             IL[rows_abs] = np.where(np.isfinite(bl_p), bl_j, -1)
             IR[rows_abs] = np.where(np.isfinite(br_p), br_j, -1)
 def matrix_profile(

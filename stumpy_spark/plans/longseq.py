@@ -162,31 +162,43 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
     BR, BC = 256, 1024
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math as _math
         (Ta, mu, sig, fin, con), (Tb2, mub, sigb, finb, conb), sj = b.value
         windows = np.lib.stride_tricks.sliding_window_view(Ta, m)
         windows_B = windows if sj else \
             np.lib.stride_tricks.sliding_window_view(Tb2, m)
+        # sub-blocks live in root-deferred space (D^2 for z-norm / p=2,
+        # D^p otherwise): min/top-k are monotone-invariant, so the root
+        # runs once per emitted l-vector instead of per cell (same
+        # fusion as kernels._QTProvider.sqdist)
+        inv = np.sqrt if (normalize or p == 2.0) else \
+            (lambda x: x ** (1.0 / p))
+        if normalize:
+            with np.errstate(divide="ignore"):
+                mmu = m * mu
+                negfac = np.where(sig > 0.0, -2.0 / sig, 0.0)
+                rsigb = np.where(sigb > 0.0, 1.0 / sigb, 0.0)
 
         def dist_sub(wr_s, wc_s, a0, a1, b0, b1):
-            """Distance sub-block for absolute rows a0:a1 x cols b0:b1.
-            ``wr_s``/``wc_s`` are contiguous window slices (BLAS GEMM on
-            strided sliding-window views is ~10x slower, kernels.py:633)."""
+            """Squared/p-powered distance sub-block for absolute rows
+            a0:a1 x cols b0:b1.  ``wr_s``/``wc_s`` are contiguous window
+            slices (BLAS GEMM on strided sliding-window views is ~10x
+            slower, kernels.py:633)."""
             if normalize:
-                # fused clamp-free pair (value-identical, two fewer
-                # full-matrix passes — kernels._pearson_from_qt docs)
-                rho = kernels._pearson_from_qt(
-                    wr_s @ wc_s.T, mu[a0:a1], sig[a0:a1],
-                    mub[b0:b1], sigb[b0:b1], m, clamp=False)
-                D = kernels._rho_to_distance_inplace(rho, m,
-                                                     clamped=False)
+                # fused D^2 = (QT - m mu_i mu_j)(-2/(sig_i sig_j)) + 2m:
+                # no divide, no rho round-trip, no per-cell sqrt
+                D = wr_s @ wc_s.T
+                with np.errstate(invalid="ignore"):
+                    D -= np.outer(mmu[a0:a1], mub[b0:b1])
+                    D *= np.outer(negfac[a0:a1], rsigb[b0:b1])
+                D += 2.0 * m
+                D[D < kernels.config.P_NORM_THRESHOLD] = 0.0
                 ca = con[a0:a1]
                 cb = conb[b0:b1]
                 if ca.any() or cb.any():
                     cam = ca[:, None]
                     cbm = cb[None, :]
                     D[cam & cbm] = 0.0
-                    D[cam ^ cbm] = _math.sqrt(m)
+                    D[cam ^ cbm] = float(m)
                 D[~fin[a0:a1], :] = np.inf
                 D[:, ~finb[b0:b1]] = np.inf
             else:
@@ -204,13 +216,13 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
                         si, sjx = np.nonzero(suspect)
                         diff = wr_s[si] - wc_s[sjx]
                         D2[si, sjx] = np.einsum("ij,ij->i", diff, diff)
-                    D = np.sqrt(D2)
+                    D = D2
                 else:
                     acc = np.zeros((a1 - a0, b1 - b0))
                     for o in range(m):
                         acc += np.abs(Ta[a0 + o:a1 + o, None]
                                       - Tb2[None, b0 + o:b1 + o]) ** p
-                    D = acc ** (1.0 / p)
+                    D = acc
                 D[~fin[a0:a1], :] = np.inf
                 D[:, ~finb[b0:b1]] = np.inf
             if sj and b0 <= a1 - 1 + ez and a0 - ez <= b1 - 1:
@@ -279,14 +291,14 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
                         v2 = D[i2, cc]
                         upd(cp, cj, sc0, v2, i2 + a0)
             out = {
-                "i": np.arange(r0, r1), "p": bp,
+                "i": np.arange(r0, r1), "p": inv(bp),
                 "j": np.where(np.isfinite(bp), bj, -1),
             }
             if sj:
                 out.update({
-                    "pl": bpl,
+                    "pl": inv(bpl),
                     "jl": np.where(np.isfinite(bpl), bjl, -1),
-                    "pr": bpr,
+                    "pr": inv(bpr),
                     "jr": np.where(np.isfinite(bpr), bjr, -1),
                 })
             else:
@@ -302,10 +314,11 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
             if emit_cols:
                 # off-diagonal upper tile: every col's neighbors here are
                 # left neighbors (j > i for all cells)
+                cps = inv(cp)
                 frames.append(pd.DataFrame({
-                    "i": np.arange(c0, c1), "p": cp,
+                    "i": np.arange(c0, c1), "p": cps,
                     "j": np.where(np.isfinite(cp), cj, -1),
-                    "pl": cp,
+                    "pl": cps,
                     "jl": np.where(np.isfinite(cp), cj, -1),
                     "pr": np.full(nc, np.inf),
                     "jr": np.full(nc, -1, dtype=np.int64),
@@ -336,7 +349,7 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
             js = jabs.ravel()[order].reshape(n_idx, C)[:, :k]
             return pd.DataFrame({
                 "i": np.repeat(np.arange(i0, i0 + n_idx), min(k, C)),
-                "p": vs.ravel(),
+                "p": inv(vs.ravel()),
                 "j": np.where(np.isfinite(vs.ravel()), js.ravel(), -1),
             })
 
