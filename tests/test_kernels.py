@@ -123,6 +123,26 @@ def test_matrix_profile_nan_inf(sub, loc):
     npt.assert_array_equal(ref_I[:, 0], I[:, 0])
 
 
+@pytest.mark.parametrize("sub", SUBST_VALUES)
+@pytest.mark.parametrize("loc", SUBST_LOCS)
+def test_matrix_profile_ab_nan_inf_constant(sub, loc):
+    """AB-join masking parity under non-finite punctures on either side
+    plus a constant run in T_A: the blocked AB kernel overwrites its
+    sqdist placeholder cells (sig == 0 -> D^2 = 2m) with the con/fin
+    masks; every such cell must match the naive oracle exactly."""
+    rs = np.random.RandomState(17)
+    T_A = rs.uniform(-1000, 1000, 48)
+    T_A[10:16] = 42.0                       # constant run (sig == 0)
+    T_B = rs.uniform(-1000, 1000, 40)
+    for side in ("A", "B"):
+        Ta, Tb = T_A.copy(), T_B.copy()
+        (Ta if side == "A" else Tb)[loc] = sub
+        ref_P, ref_I, _, _ = naive.stump(Ta, 3, T_B=Tb)
+        P, I, _, _ = kernels.matrix_profile(Ta, 3, T_B=Tb)
+        npt.assert_almost_equal(ref_P[:, 0], P[:, 0], decimal=PRECISION)
+        npt.assert_array_equal(ref_I[:, 0], I[:, 0])
+
+
 def test_matrix_profile_constant_runs():
     T = np.concatenate([np.zeros(20), np.ones(5)])
     ref_P, ref_I, _, _ = naive.stump(T, 3)
