@@ -486,6 +486,8 @@ class _QTProvider:
         self.TA, self.TB = TA, TB
         self.use_rec = TA is not None
         self._mmu_A = None        # sqdist() scale vectors, lazily built
+        self._Ax = None           # xdist() scaled-centered copies (GEMM)
+        self._Bx = None
 
     def _qt(self, r0, r1, c0, c1):
         """Raw dot-product tile (GEMM, or GEMV-border + recurrence)."""
@@ -545,6 +547,62 @@ class _QTProvider:
         QT += 2.0 * m
         QT[QT < config.P_NORM_THRESHOLD] = 0.0
         return QT
+
+    def _build_x(self):
+        """Scaled-centered window copies for the zero-pass GEMM tile:
+        ``Ax[i] = (wA[i] - mu_i) * (-2/sig_i)``, ``Bx[j] = (wB[j] - mu_j)
+        / sig_j`` so ``Ax @ Bx.T = -2m*rho = D^2 - 2m`` directly — the
+        outer-subtract, outer-multiply and ``+2m`` per-tile passes of
+        :meth:`sqdist` all fold into the one GEMM.  Non-finite windows
+        (``mu == inf``) and constant windows (``sig == 0``) become zero
+        rows -> X = 0 (the same finite ``D^2 = 2m`` placeholder sqdist
+        emits), always overwritten by the caller's con/fin masks.
+        Contiguous copies double as the BLAS fast-path operands (GEMM on
+        strided sliding-window views is ~10x slower)."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            okA = np.isfinite(self.mu_A) & (self.sig_A > 0.0)
+            muA = np.where(okA, self.mu_A, 0.0)
+            facA = np.where(okA, -2.0 / self.sig_A, 0.0)
+            self._Ax = (self.wA - muA[:, None]) * facA[:, None]
+            okB = np.isfinite(self.mu_B) & (self.sig_B > 0.0)
+            muB = np.where(okB, self.mu_B, 0.0)
+            facB = np.where(okB, 1.0 / self.sig_B, 0.0)
+            self._Bx = (self.wB - muB[:, None]) * facB[:, None]
+
+    def xdist(self, r0, r1, c0, c1):
+        """Tile of ``D^2 - 2m`` (root-deferred squared z-norm distance,
+        shifted by the constant ``-2m``): min/argmin order is unchanged
+        (monotone shift), callers add ``2m`` back once per finished
+        l-vector before the final sqrt.  The snap-to-zero threshold is
+        applied in shifted space (``X < thr - 2m  <=>  D^2 < thr``),
+        snapped cells land on exactly ``-2m`` (= D^2 == 0).  GEMM path:
+        one BLAS call per tile and the snap pass — every other per-cell
+        pass of :meth:`sqdist` is folded into the precomputed
+        scaled-centered operands (:meth:`_build_x`).  Recurrence path
+        (large integer m): same passes as :meth:`sqdist` minus the
+        ``+2m``."""
+        m = self.m
+        thr = config.P_NORM_THRESHOLD - 2.0 * m
+        if not self.use_rec:
+            if self._Ax is None:
+                self._build_x()
+            X = self._Ax[r0:r1] @ self._Bx[c0:c1].T
+            X[X < thr] = -2.0 * m
+            return X
+        if self._mmu_A is None:
+            with np.errstate(divide="ignore"):
+                self._mmu_A = m * self.mu_A
+                self._negfac_A = np.where(self.sig_A > 0.0,
+                                          -2.0 / self.sig_A, 0.0)
+                self._mu_B_v = self.mu_B
+                self._rsig_B = np.where(self.sig_B > 0.0,
+                                        1.0 / self.sig_B, 0.0)
+        X = self._qt(r0, r1, c0, c1)
+        with np.errstate(invalid="ignore"):
+            X -= np.outer(self._mmu_A[r0:r1], self._mu_B_v[c0:c1])
+            X *= np.outer(self._negfac_A[r0:r1], self._rsig_B[c0:c1])
+        X[X < thr] = -2.0 * m
+        return X
 
 
 def _rho_to_distance_inplace(rho, m, clamped=True):
@@ -746,9 +804,11 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
     minima update cols (left-side neighbors).  Candidates for any index
     arrive in ascending neighbor order, so first-strictly-smaller updates
     reproduce the argmin-first-index tie rule of the row-wise kernel.
-    Tiles and running minima live in *squared*-distance space
-    (``qtp.sqdist``); sqrt runs once over the final l-vectors, like the
-    diagonal kernel.
+    Tiles and running minima live in shifted squared-distance space
+    ``D^2 - 2m`` (``qtp.xdist`` — the GEMM emits it directly from
+    scaled-centered operands, zero per-cell normalization passes); the
+    ``+2m`` shift and the sqrt run once over the final l-vectors, like
+    the diagonal kernel.
 
     ULP note: a pair (i, j) that falls inside a diagonal-crossing tile is
     seen in both orientations, and the Pearson normalization is not
@@ -782,12 +842,12 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
             c1 = min(c0 + bc, l)
             if c1 <= r0:
                 continue                      # strictly lower tile grid
-            D = qtp.sqdist(r0, r1, c0, c1)    # squared space throughout
+            D = qtp.xdist(r0, r1, c0, c1)     # D^2 - 2m space throughout
             if any_con:
                 ca = con[r0:r1][:, None]
                 cb = con[c0:c1][None, :]
-                D[ca & cb] = 0.0
-                D[ca ^ cb] = float(m)
+                D[ca & cb] = -2.0 * m         # D^2 == 0
+                D[ca ^ cb] = -float(m)        # D^2 == m
             if not all_fin:
                 D[~fin[r0:r1], :] = np.inf
                 D[:, ~fin[c0:c1]] = np.inf
@@ -836,11 +896,12 @@ def _mp_top1_blocked_sym(qtp, windows, mu, sig, m, con, fin, any_con,
                     ir = np.argmin(buf, axis=0)
                     vri = buf[ir, cc]
                     upd(bl_p, bl_j, cols_abs, vri, ir + r0)
-    P[:, 0] = np.sqrt(best_p)
+    two_m = 2.0 * m
+    P[:, 0] = np.sqrt(best_p + two_m)
     I[:, 0] = np.where(np.isfinite(best_p), best_j, -1)
     if compute_left_right:
-        PL[:] = np.sqrt(bl_p)
-        PR[:] = np.sqrt(br_p)
+        PL[:] = np.sqrt(bl_p + two_m)
+        PR[:] = np.sqrt(br_p + two_m)
         IL[:] = np.where(np.isfinite(bl_p), bl_j, -1)
         IR[:] = np.where(np.isfinite(br_p), br_j, -1)
 
@@ -852,8 +913,8 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
                      br: int = 128, bc: int = 128):
     """Top-1 matrix profile over (br × bc) cache-resident tiles with
     running per-row minima (and left/right minima for self-joins).
-    Squared-distance space throughout (``qtp.sqdist``), sqrt once per
-    finished row block."""
+    Shifted squared-distance space ``D^2 - 2m`` throughout
+    (``qtp.xdist``), un-shift + sqrt once per finished row block."""
     la = windows_A.shape[0]
     lb = windows_B.shape[0]
     if la * lb <= ONE_TILE_CELLS:
@@ -872,12 +933,12 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
         br_j = np.full(nr, -1, dtype=np.int64)
         for c0 in range(0, lb, bc):
             c1 = min(c0 + bc, lb)
-            D = qtp.sqdist(r0, r1, c0, c1)    # squared space throughout
+            D = qtp.xdist(r0, r1, c0, c1)     # D^2 - 2m space throughout
             if any_con:
                 ca = con_A[r0:r1][:, None]
                 cb = con_B[c0:c1][None, :]
-                D[ca & cb] = 0.0
-                D[ca ^ cb] = float(m)
+                D[ca & cb] = -2.0 * m         # D^2 == 0
+                D[ca ^ cb] = -float(m)        # D^2 == m
             if not all_fin_A:
                 D[~fin_A[r0:r1], :] = np.inf
             if not all_fin_B:
@@ -916,11 +977,12 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
                     upd = vr < br_p
                     br_p[upd] = vr[upd]
                     br_j[upd] = jr[upd] + c0
-        P[rows_abs, 0] = np.sqrt(best_p)
+        two_m = 2.0 * m
+        P[rows_abs, 0] = np.sqrt(best_p + two_m)
         I[rows_abs, 0] = np.where(np.isfinite(best_p), best_j, -1)
         if self_join and compute_left_right:
-            PL[rows_abs] = np.sqrt(bl_p)
-            PR[rows_abs] = np.sqrt(br_p)
+            PL[rows_abs] = np.sqrt(bl_p + two_m)
+            PR[rows_abs] = np.sqrt(br_p + two_m)
             IL[rows_abs] = np.where(np.isfinite(bl_p), bl_j, -1)
             IR[rows_abs] = np.where(np.isfinite(br_p), br_j, -1)
 def matrix_profile(
