@@ -166,17 +166,41 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
         windows = np.lib.stride_tricks.sliding_window_view(Ta, m)
         windows_B = windows if sj else \
             np.lib.stride_tricks.sliding_window_view(Tb2, m)
-        # sub-blocks live in root-deferred space (D^2 for z-norm / p=2,
-        # D^p otherwise): min/top-k are monotone-invariant, so the root
-        # runs once per emitted l-vector instead of per cell (same
-        # fusion as kernels._QTProvider.sqdist)
-        inv = np.sqrt if (normalize or p == 2.0) else \
-            (lambda x: x ** (1.0 / p))
+        # sub-blocks live in root-deferred space: shifted squared z-norm
+        # distance ``X = D^2 - 2m`` when normalized (the GEMM on
+        # scaled-centered operands emits it directly — zero per-cell
+        # normalization passes, same fold as kernels._QTProvider.xdist),
+        # D^2 / D^p otherwise.  min/top-k are monotone-invariant, so the
+        # un-shift + root run once per emitted l-vector instead of per
+        # cell.
         if normalize:
+            inv = lambda x: np.sqrt(x + 2.0 * m)
+        elif p == 2.0:
+            inv = np.sqrt
+        else:
+            inv = lambda x: x ** (1.0 / p)
+        if normalize:
+            # scaled-centered tile rows/cols: Ax[i] = (w_i - mu_i) *
+            # (-2/sig_i), Bx[j] = (w_j - mu_j)/sig_j so Ax @ Bx.T =
+            # -2m*rho = D^2 - 2m.  Non-finite (mu == inf) and constant
+            # (sig == 0) windows become zero rows -> X = 0, always
+            # overwritten by the con/fin masks below.
             with np.errstate(divide="ignore"):
-                mmu = m * mu
-                negfac = np.where(sig > 0.0, -2.0 / sig, 0.0)
-                rsigb = np.where(sigb > 0.0, 1.0 / sigb, 0.0)
+                okA = np.isfinite(mu) & (sig > 0.0)
+                muA0 = np.where(okA, mu, 0.0)
+                facA = np.where(okA, -2.0 / sig, 0.0)
+                okB = np.isfinite(mub) & (sigb > 0.0)
+                muB0 = np.where(okB, mub, 0.0)
+                facB = np.where(okB, 1.0 / sigb, 0.0)
+            thrx = kernels.config.P_NORM_THRESHOLD - 2.0 * m
+
+            def xrows(r0, r1):
+                return ((windows[r0:r1] - muA0[r0:r1, None])
+                        * facA[r0:r1, None])
+
+            def xcols(c0, c1):
+                return ((windows_B[c0:c1] - muB0[c0:c1, None])
+                        * facB[c0:c1, None])
 
         def dist_sub(wr_s, wc_s, a0, a1, b0, b1):
             """Squared/p-powered distance sub-block for absolute rows
@@ -184,21 +208,17 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
             slices (BLAS GEMM on strided sliding-window views is ~10x
             slower, kernels.py:633)."""
             if normalize:
-                # fused D^2 = (QT - m mu_i mu_j)(-2/(sig_i sig_j)) + 2m:
-                # no divide, no rho round-trip, no per-cell sqrt
+                # one GEMM per sub-block: the scaled-centered operands
+                # already carry the whole normalization, X = D^2 - 2m
                 D = wr_s @ wc_s.T
-                with np.errstate(invalid="ignore"):
-                    D -= np.outer(mmu[a0:a1], mub[b0:b1])
-                    D *= np.outer(negfac[a0:a1], rsigb[b0:b1])
-                D += 2.0 * m
-                D[D < kernels.config.P_NORM_THRESHOLD] = 0.0
+                D[D < thrx] = -2.0 * m        # snap-to-zero, shifted
                 ca = con[a0:a1]
                 cb = conb[b0:b1]
                 if ca.any() or cb.any():
                     cam = ca[:, None]
                     cbm = cb[None, :]
-                    D[cam & cbm] = 0.0
-                    D[cam ^ cbm] = float(m)
+                    D[cam & cbm] = -2.0 * m   # D^2 == 0
+                    D[cam ^ cbm] = -float(m)  # D^2 == m
                 D[~fin[a0:a1], :] = np.inf
                 D[:, ~finb[b0:b1]] = np.inf
             else:
@@ -245,9 +265,13 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
 
         def eval_tile_top1(r0, r1, c0, c1, emit_cols):
             nr, nc = r1 - r0, c1 - c0
-            wr = np.ascontiguousarray(windows[r0:r1])
-            wc_ = wr if (sj and r0 == c0) else \
-                np.ascontiguousarray(windows_B[c0:c1])
+            if normalize:
+                wr = xrows(r0, r1)
+                wc_ = xcols(c0, c1)
+            else:
+                wr = np.ascontiguousarray(windows[r0:r1])
+                wc_ = wr if (sj and r0 == c0) else \
+                    np.ascontiguousarray(windows_B[c0:c1])
             bp = np.full(nr, np.inf)
             bj = np.full(nr, -1, dtype=np.int64)
             if sj:
@@ -355,9 +379,13 @@ def distributed_matrix_profile(spark: SparkSession, T_arr, m: int,
 
         def eval_tile_topk(r0, r1, c0, c1, emit_cols):
             nr, nc = r1 - r0, c1 - c0
-            wr = np.ascontiguousarray(windows[r0:r1])
-            wc_ = wr if (sj and r0 == c0) else \
-                np.ascontiguousarray(windows_B[c0:c1])
+            if normalize:
+                wr = xrows(r0, r1)
+                wc_ = xcols(c0, c1)
+            else:
+                wr = np.ascontiguousarray(windows[r0:r1])
+                wc_ = wr if (sj and r0 == c0) else \
+                    np.ascontiguousarray(windows_B[c0:c1])
             rv, rj = [], []
             cv, cjn = [], []
             for sr0 in range(0, nr, BR):
