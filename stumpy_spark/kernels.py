@@ -639,19 +639,16 @@ DIAG_MIN_L = 64
 
 def _use_diag(l: int, m: int) -> bool:
     """Empirical diag-vs-GEMM crossover (interleaved single-thread
-    sweep, BENCH/BASELINE.md round 5): BLAS tiles win while m is small
-    and the series is long (O(m) flops/cell amortize); the diagonal
-    kernel wins everywhere m is large and on short series where its
-    O(1)/cell cumsum beats tile setup.  Re-tuned after the fused
-    squared-space tile path sped GEMM ~1.3x: the crossover moved up
-    (m>=160 on long series; m>=128 at l<=4096; m>=96 at l<=2048)."""
+    sweep, BENCH/BASELINE.md round 5).  After folding the normalization
+    into scaled-centered GEMM operands (``_QTProvider.xdist``), the
+    BLAS/recurrence provider wins almost everywhere: small-to-mid m at
+    any length (1.1-2.3x), and every m on long series (l > 4096, where
+    the provider's GEMV-border recurrence beats the diagonal's cumsum
+    working set).  The diagonal kernel keeps only the
+    large-m-short-series corner (m >= 192, l <= 4096: 1.1-2.0x)."""
     if l <= DIAG_MIN_L:
         return False
-    if m >= 160:
-        return True
-    if m >= 128:
-        return l <= 4096
-    return m >= 96 and l <= 2048
+    return m >= 192 and l <= 4096
 
 
 def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
