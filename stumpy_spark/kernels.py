@@ -641,14 +641,15 @@ def _use_diag(l: int, m: int) -> bool:
     """Empirical diag-vs-GEMM crossover (interleaved single-thread
     sweep, BENCH/BASELINE.md round 5).  After folding the normalization
     into scaled-centered GEMM operands (``_QTProvider.xdist``), the
-    BLAS/recurrence provider wins almost everywhere: small-to-mid m at
-    any length (1.1-2.3x), and every m on long series (l > 4096, where
-    the provider's GEMV-border recurrence beats the diagonal's cumsum
-    working set).  The diagonal kernel keeps only the
-    large-m-short-series corner (m >= 192, l <= 4096: 1.1-2.0x)."""
+    BLAS provider wins every m below the recurrence threshold at every
+    length (1.1-2.3x, tools/kernel_microbench.py); at m >= 192 the
+    diagonal kernel beats the provider's GEMV-border recurrence at
+    every measured length (1.1-2.0x short, ~1.2x at l=8k in clean
+    windows) and is the more cache-resident of the two in degraded
+    DRAM regimes."""
     if l <= DIAG_MIN_L:
         return False
-    return m >= 192 and l <= 4096
+    return m >= 192
 
 
 def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
