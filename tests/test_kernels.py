@@ -497,3 +497,55 @@ def test_mueen_distance_profile_equals_mass():
     npt.assert_almost_equal(
         kernels.mass(Q, T),
         kernels.mueen_calculate_distance_profile(Q, T), decimal=PRECISION)
+
+
+def test_xdist_matches_sqdist_shifted():
+    """_QTProvider.xdist (scaled-centered GEMM operands, shifted
+    D^2 - 2m space) must equal sqdist - 2m on both provider paths —
+    including NaN-punctured, constant, and sig==0 placeholder cells
+    (both schemes emit the same finite 2m placeholder there).  The
+    operand fold changes the rounding route (per-element scaling vs
+    per-cell outer), so values compare at 1e-9 absolute, and snapped
+    cells must land on exactly -2m."""
+    import numpy as np
+    from stumpy_spark import kernels
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = [120, 400, 900][trial % 3]
+        m = int(rng.choice([8, 25, 200]))
+        if n < 2 * m:
+            m = max(3, n // 4)
+        T = rng.integers(0, 50, n).astype(float)
+        T[10:10 + m + 2] = 4.0                      # constant run
+        if trial % 2:
+            T[-2:] = np.nan     # tail punctures (kill only the last
+            # m windows, so the probed block keeps live rows/cols)
+        A, mu, sig, fin, con = kernels.preprocess(T, m)
+        w = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(A, m))
+        use_rec = m >= kernels.QT_REC_MIN_M and kernels._qt_recurrence_ok(
+            A, m) and not trial % 2
+        qtp = kernels._QTProvider(w, w, mu, sig, mu, sig, m,
+                                  TA=A if use_rec else None,
+                                  TB=A if use_rec else None)
+        l = w.shape[0]
+        r0, r1 = 3, min(l, 90)
+        c0, c1 = 1, min(l, 77)
+        X = qtp.xdist(r0, r1, c0, c1)
+        qtp2 = kernels._QTProvider(w, w, mu, sig, mu, sig, m,
+                                   TA=A if use_rec else None,
+                                   TB=A if use_rec else None)
+        D2 = qtp2.sqdist(r0, r1, c0, c1)
+        ref = D2 - 2.0 * m
+        # compare only rows/cols both paths treat as live: non-finite
+        # windows get a zero row in xdist (finite placeholder) but a
+        # NaN/inf row in sqdist — the callers' fin masks overwrite both
+        live_r = fin[r0:r1] & (sig[r0:r1] > 0)
+        live_c = fin[c0:c1] & (sig[c0:c1] > 0)
+        both = live_r[:, None] & live_c[None, :]
+        assert both.any(), trial
+        assert np.nanmax(np.abs(X[both] - ref[both])) < 1e-9, trial
+        # the shifted snap guarantees X >= -2m exactly, so the caller's
+        # final sqrt(X + 2m) can never see a negative operand
+        assert np.all(X[np.isfinite(X)] >= -2.0 * m), trial
