@@ -129,8 +129,21 @@ def preprocess(T: np.ndarray, m: int, T_subseq_isconstant=None):
     callable(T, m)) resolved by :func:`process_isconstant`.
     """
     T = np.asarray(T, dtype=np.float64).copy()
+    fin_el = np.isfinite(T)
+    if fin_el.all():
+        # all-finite fast path (the common case for token sequences):
+        # every window is finite, so the non-finite bookkeeping — the
+        # indicator cumsum, the inf->nan->0 rewrite passes, and the
+        # mean-inf overwrite — drops to a single ones() fill
+        isfinite_w = np.ones(max(T.shape[0] - m + 1, 0), dtype=bool)
+        if T_subseq_isconstant is None:
+            isconstant = (sliding_max(T, m) - sliding_min(T, m)) == 0
+        else:
+            isconstant = process_isconstant(T, m, T_subseq_isconstant)
+        M_T, Sigma_T = sliding_mean_std(T, m)
+        return T, M_T, Sigma_T, isfinite_w, isconstant
     isfinite_w = rolling_isfinite(T, m)
-    T[~np.isfinite(T)] = np.nan
+    T[~fin_el] = np.nan
     if T_subseq_isconstant is None:
         isconstant = _rolling_isconstant_nan(T, m)
     else:
