@@ -652,17 +652,16 @@ DIAG_MIN_L = 64
 
 def _use_diag(l: int, m: int) -> bool:
     """Empirical diag-vs-GEMM crossover (interleaved single-thread
-    sweep, BENCH/BASELINE.md round 5).  After folding the normalization
-    into scaled-centered GEMM operands (``_QTProvider.xdist``), the
-    BLAS provider wins every m below the recurrence threshold at every
-    length (1.1-2.3x, tools/kernel_microbench.py); at m >= 192 the
-    diagonal kernel beats the provider's GEMV-border recurrence at
-    every measured length (1.1-2.0x short, ~1.2x at l=8k in clean
-    windows) and is the more cache-resident of the two in degraded
-    DRAM regimes."""
+    sweep, BENCH/BASELINE.md round 5).  After the diagonal kernel's
+    min+lazy-argmin reductions and persistent chunk buffers, its rate
+    is m-independent (~55-65 M pairs/s mid-regime) while GEMM falls
+    off as O(m): GEMM still wins m <= 48 at every length (scaled-
+    centered operand fold), the diagonal kernel wins every measured
+    (l, m) from m = 64 up (1.1-2.6x) and is the more cache-resident
+    of the two in degraded DRAM regimes."""
     if l <= DIAG_MIN_L:
         return False
-    return m >= 192
+    return m >= 64
 
 
 def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
@@ -694,6 +693,16 @@ def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
     the last = smallest ``i``), and the final combine prefers the left
     neighbor on exact ties — the same "ascending neighbor order" rule
     the blocked kernels implement.
+
+    Minima are tracked in the shifted ``D^2 - 2m`` space of
+    :meth:`_QTProvider.xdist` (snapped cells land on exactly ``-2m``;
+    the ``+2m`` and the sqrt run once over the final l-vectors), and
+    both reductions are ``min(axis=0)`` with *lazy index recovery*:
+    ``np.argmin`` walks the reduced axis scalar-at-a-time (~10x the
+    cost of the vectorized ``min`` on these wide chunks), so the
+    argmin runs only over the columns whose chunk minimum actually
+    improves the running best — a set that thins out harmonically
+    (~ln(#chunks) record-breaks per column on non-degenerate data).
     """
     from numpy.lib.stride_tricks import as_strided
 
@@ -702,38 +711,47 @@ def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
     ir_ = np.full(l, -1, dtype=np.int64)
     pl_ = np.full(l, np.inf)
     il_ = np.full(l, -1, dtype=np.int64)
+    twom = 2.0 * m
     d0 = ez + 1
     if d0 < l:
         pad = _DIAG_B_CAP
         T_pad = np.concatenate([T, np.zeros(pad)])
-        mu_pad = np.concatenate([mu, np.zeros(pad)])
         if any_con:
             con_pad = np.concatenate([con, np.zeros(pad, dtype=bool)])
         # QT[0, d] for every diagonal in one exact pass (sums of <= m
         # integer products, |sum| < 2**52 -> exact in any order)
         qt0 = np.correlate(T, T[:m], mode="valid")
-        mmuA = m * mu
-        # fused scale: D^2 = -2m(rho - 1) = (QT - m mu_i mu_j) *
-        # (-2/(sig_i sig_j)) + 2m — the m cancels, the division becomes
-        # a reciprocal multiply, and the -2m/+1 passes fold away.
+        # fused scale: E = D^2 - 2m = QT*f_i*r_j + g_i*a_j with
+        # f = -2/sig, r = 1/sig, g = -m*mu*f, a = mu*r — the per-chunk
+        # outer-subtract of m*mu_i*mu_j folds into one multiply-add and
+        # the f_i factor applies as an in-place row broadcast (one
+        # fewer t2 round-trip per chunk than the subtract form).
         # sig == 0 (constant or all-NaN windows) maps to factor 0 ->
-        # D^2 = 2m, a harmless finite placeholder always overwritten by
-        # the con/fin masks below (no inf*0 NaNs can reach the argmin).
-        with np.errstate(divide="ignore"):
+        # E = 0 (D^2 = 2m), a harmless finite placeholder always
+        # overwritten by the con/fin masks below.
+        with np.errstate(divide="ignore", invalid="ignore"):
             negfac = np.where(sig > 0.0, -2.0 / sig, 0.0)
             rsig = np.where(sig > 0.0, 1.0 / sig, 0.0)
+            gvec = -(m * mu) * negfac
         rsig_pad = np.concatenate([rsig, np.zeros(pad)])
-        twom = 2.0 * m
-        tmp = None
+        with np.errstate(invalid="ignore"):
+            murs_pad = np.concatenate([mu * rsig, np.zeros(pad)])
+        thr = config.P_NORM_THRESHOLD - twom
+        # persistent chunk buffers: a fresh np.empty per chunk pays
+        # page-fault + first-touch cost on every iteration (~2x on the
+        # elementwise passes); B*(L0+B) <= 2*chunk-cells except when a
+        # single over-long diagonal (B == 1) exceeds the budget
+        L0_max = l - d0
+        wcap = max(2 * DIAG_CHUNK_CELLS, L0_max + _DIAG_B_CAP + 1)
+        wbuf = np.empty(wcap)
+        tbuf = np.empty(max(DIAG_CHUNK_CELLS, L0_max))
         while d0 < l:
             L0 = l - d0
             B = max(1, min(_DIAG_B_CAP, DIAG_CHUNK_CELLS // L0, L0))
-            W = np.empty((B, L0 + B))
+            W = wbuf[:B * (L0 + B)].reshape(B, L0 + B)
             V = as_strided(W, shape=(B, L0),
                            strides=(W.strides[0] + 8, 8))
-            if tmp is None or tmp.shape[0] < B or tmp.shape[1] < L0:
-                tmp = np.empty((B, L0))
-            t2 = tmp[:B, :L0]
+            t2 = tbuf[:B * L0].reshape(B, L0)
             V[:, 0] = qt0[d0:d0 + B]
             if L0 > 1:
                 M1 = as_strided(T_pad[d0 + m:], (B, L0 - 1), (8, 8))
@@ -742,25 +760,26 @@ def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
                 np.multiply(M0, T[:L0 - 1][None, :], out=t2[:, 1:])
                 V[:, 1:] -= t2[:, 1:]
             np.cumsum(V, axis=1, out=V)
-            # QT -> squared distance in three fused passes; minima are
-            # tracked in D^2 space (sqrt is monotone, so argmin and the
-            # snap threshold are unchanged) and sqrt'ed once at the end
-            MmuB = as_strided(mu_pad[d0:], (B, L0), (8, 8))
+            # QT -> shifted squared distance (D^2 - 2m, the xdist
+            # convention): E = QT*f_i*r_j + g_i*a_j; sqrt is monotone
+            # and the shift constant, so min/argmin and the snap
+            # threshold are unchanged; +2m and sqrt run once over the
+            # final l-vectors
             MrsB = as_strided(rsig_pad[d0:], (B, L0), (8, 8))
+            MaB = as_strided(murs_pad[d0:], (B, L0), (8, 8))
             # non-finite windows (mu = inf) legitimately produce
             # inf/NaN cells here; the fin mask below overwrites them
             with np.errstate(invalid="ignore"):
-                np.multiply(MmuB, mmuA[:L0][None, :], out=t2)
-                V -= t2
-                np.multiply(MrsB, negfac[:L0][None, :], out=t2)
-                V *= t2
-            V += twom
-            V[V < config.P_NORM_THRESHOLD] = 0.0
+                V *= negfac[:L0][None, :]
+                V *= MrsB
+                np.multiply(MaB, gvec[:L0][None, :], out=t2)
+                V += t2
+            V[V < thr] = -twom
             if any_con:
                 McB = as_strided(con_pad[d0:], (B, L0), (1, 1))
                 ca = con[:L0][None, :]
-                V[ca & McB] = 0.0
-                V[ca ^ McB] = float(m)
+                V[ca & McB] = -twom          # D^2 == 0
+                V[ca ^ McB] = -float(m)      # D^2 == m
             if not all_fin:
                 V[:, ~fin[:L0]] = np.inf       # row i non-finite
                 W[:, :L0][:, ~fin[d0:d0 + L0]] = np.inf   # col j
@@ -773,33 +792,34 @@ def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
                 bi = np.arange(B)
                 W[:, :B][bi[:, None] > np.arange(B)[None, :]] = np.inf
             # row side: cell (b, i) is row i's right neighbor j=i+d0+b;
-            # first-argmin = smallest b = ascending-j tie rule
-            barg = np.argmin(V, axis=0)
-            ci = np.arange(L0)
-            vmin = V[barg, ci]
+            # first-argmin = smallest b = ascending-j tie rule; the
+            # argmin runs lazily, only over improving columns
+            vmin = V.min(axis=0)
             upd = vmin < pr_[:L0]
-            pr_[:L0][upd] = vmin[upd]
-            ir_[:L0][upd] = (ci + (d0 + barg))[upd]
+            if upd.any():
+                cols = np.nonzero(upd)[0]
+                pr_[cols] = vmin[upd]
+                barg = np.argmin(V[:, cols], axis=0)
+                ir_[cols] = cols + d0 + barg
             # col side: physical column c holds column j = d0 + c;
             # reversed argmin = largest b = smallest i; <= keeps the
             # later (smaller-i) candidate on cross-chunk ties
             Wv = W[:, :L0]
-            bargr = np.argmin(Wv[::-1], axis=0)
-            b_sel = B - 1 - bargr
-            wmin = Wv[b_sel, ci]
-            jj = d0 + ci
-            upd = wmin <= pl_[jj]
+            wmin = Wv.min(axis=0)
+            upd = wmin <= pl_[d0:d0 + L0]
             np.logical_and(upd, np.isfinite(wmin), out=upd)
-            jju = jj[upd]
-            pl_[jju] = wmin[upd]
-            il_[jju] = (ci - b_sel)[upd]
+            if upd.any():
+                cols = np.nonzero(upd)[0]
+                pl_[d0 + cols] = wmin[upd]
+                bargr = np.argmin(Wv[::-1][:, cols], axis=0)
+                il_[d0 + cols] = cols - (B - 1 - bargr)
             d0 += B
     left_wins = (pl_ <= pr_) & np.isfinite(pl_)
-    P[:, 0] = np.sqrt(np.minimum(pl_, pr_))
+    P[:, 0] = np.sqrt(np.minimum(pl_, pr_) + twom)
     I[:, 0] = np.where(left_wins, il_,
                        np.where(np.isfinite(pr_), ir_, -1))
-    PL[:] = np.sqrt(pl_)
-    PR[:] = np.sqrt(pr_)
+    PL[:] = np.sqrt(pl_ + twom)
+    PR[:] = np.sqrt(pr_ + twom)
     IL[:] = il_
     IR[:] = ir_
 
