@@ -774,7 +774,11 @@ def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
                 V *= MrsB
                 np.multiply(MaB, gvec[:L0][None, :], out=t2)
                 V += t2
-            V[V < thr] = -twom
+            # snap-to-zero is applied lazily (below) instead of as a
+            # full-chunk pass here: min-then-clamp equals clamp-then-min
+            # (cells below thr all map to -2m, and every unclamped cell
+            # is >= thr > -2m), and the argmin subsets clamp their own
+            # gathered copies so tie selection is bit-identical
             if any_con:
                 McB = as_strided(con_pad[d0:], (B, L0), (1, 1))
                 ca = con[:L0][None, :]
@@ -795,23 +799,29 @@ def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
             # first-argmin = smallest b = ascending-j tie rule; the
             # argmin runs lazily, only over improving columns
             vmin = V.min(axis=0)
+            vmin[vmin < thr] = -twom          # lazy snap, L0-vector cost
             upd = vmin < pr_[:L0]
             if upd.any():
                 cols = np.nonzero(upd)[0]
                 pr_[cols] = vmin[upd]
-                barg = np.argmin(V[:, cols], axis=0)
+                sub = V[:, cols]
+                sub[sub < thr] = -twom        # clamp the gathered copy
+                barg = np.argmin(sub, axis=0)
                 ir_[cols] = cols + d0 + barg
             # col side: physical column c holds column j = d0 + c;
             # reversed argmin = largest b = smallest i; <= keeps the
             # later (smaller-i) candidate on cross-chunk ties
             Wv = W[:, :L0]
             wmin = Wv.min(axis=0)
+            wmin[wmin < thr] = -twom          # lazy snap, L0-vector cost
             upd = wmin <= pl_[d0:d0 + L0]
             np.logical_and(upd, np.isfinite(wmin), out=upd)
             if upd.any():
                 cols = np.nonzero(upd)[0]
                 pl_[d0 + cols] = wmin[upd]
-                bargr = np.argmin(Wv[::-1][:, cols], axis=0)
+                sub = Wv[::-1][:, cols]
+                sub[sub < thr] = -twom        # clamp the gathered copy
+                bargr = np.argmin(sub, axis=0)
                 il_[d0 + cols] = cols - (B - 1 - bargr)
             d0 += B
     left_wins = (pl_ <= pr_) & np.isfinite(pl_)
