@@ -654,14 +654,15 @@ def _use_diag(l: int, m: int) -> bool:
     """Empirical diag-vs-GEMM crossover (interleaved single-thread
     sweep, BENCH/BASELINE.md round 5).  After the diagonal kernel's
     min+lazy-argmin reductions and persistent chunk buffers, its rate
-    is m-independent (~55-65 M pairs/s mid-regime) while GEMM falls
-    off as O(m): GEMM still wins m <= 48 at every length (scaled-
-    centered operand fold), the diagonal kernel wins every measured
-    (l, m) from m = 64 up (1.1-2.6x) and is the more cache-resident
-    of the two in degraded DRAM regimes."""
+    is m-independent (~55-70 M pairs/s mid-regime) while GEMM falls
+    off as O(m): after the lazy snap-to-zero the measured crossover is
+    m ~ 72-80 (m=64: GEMM 68.5 vs diag 66.4; m=80: 65.4 vs 67.4;
+    m=96: 55.0 vs 67.8; m=128: 43.6 vs 71.3 M pairs/s, interleaved
+    single-thread at n=8000) and the diagonal kernel is the more
+    cache-resident of the two in degraded DRAM regimes."""
     if l <= DIAG_MIN_L:
         return False
-    return m >= 64
+    return m >= 80
 
 
 def _mp_top1_diag(T, mu, sig, m, con, fin, any_con, all_fin, ez,
