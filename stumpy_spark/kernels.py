@@ -1027,6 +1027,35 @@ def _mp_top1_blocked(qtp, windows_A, windows_B, mu_A, sig_A, mu_B, sig_B,
             PR[rows_abs] = np.sqrt(br_p + two_m)
             IL[rows_abs] = np.where(np.isfinite(bl_p), bl_j, -1)
             IR[rows_abs] = np.where(np.isfinite(br_p), br_j, -1)
+def _mp_top1_c(A: np.ndarray, m: int):
+    """Compiled-kernel wrapper: returns ``(P, I, IL, IR, PL, PR)`` or
+    None when the C kernel is unavailable or the series is ineligible
+    (non-integer values, constant windows, ...).  The final un-shift +
+    sqrt + left/right combine is the same epilogue as
+    :func:`_mp_top1_diag` (bit-identical outputs, asserted by
+    tests/test_kernels.py::test_ckernel_bit_parity_with_diag)."""
+    from . import cnative
+
+    l = A.shape[0] - m + 1
+    if l < 1:
+        return None
+    res = cnative.mp_top1_self_int(A, m, excl_zone(m),
+                                   config.P_NORM_THRESHOLD)
+    if res is None or res[0] != 0:
+        return None
+    _, pr_, ir_, pl_, il_ = res
+    twom = 2.0 * m
+    P = np.empty((l, 1))
+    I = np.empty((l, 1), dtype=np.int64)
+    left_wins = (pl_ <= pr_) & np.isfinite(pl_)
+    P[:, 0] = np.sqrt(np.minimum(pl_, pr_) + twom)
+    I[:, 0] = np.where(left_wins, il_,
+                       np.where(np.isfinite(pr_), ir_, -1))
+    PL = np.sqrt(pl_ + twom)
+    PR = np.sqrt(pr_ + twom)
+    return P, I, il_, ir_, PL, PR
+
+
 def matrix_profile(
     T_A: np.ndarray,
     m: int,
@@ -1052,6 +1081,18 @@ def matrix_profile(
     returned as -1, matching ignore_trivial=False semantics).
     """
     self_join = T_B is None
+    # compiled fast path (self-join top-1, integer series, no user
+    # constant hook): the fused C diagonal-STOMP kernel mirrors
+    # _mp_top1_diag's arithmetic bit-for-bit and checks its own
+    # eligibility (integral, finite, magnitude-bounded, no constant
+    # windows) — any other series falls through to the numpy paths
+    if self_join and k == 1 and T_A_subseq_isconstant is None:
+        A0 = np.ascontiguousarray(T_A, dtype=np.float64)
+        res = _mp_top1_c(A0, m)
+        if res is not None:
+            if return_left_right_P:
+                return res
+            return res[:4]
     A, mu_A, sig_A, fin_A, con_A = preprocess(
         np.asarray(T_A, np.float64), m, T_A_subseq_isconstant)
     if self_join:

@@ -549,3 +549,99 @@ def test_xdist_matches_sqdist_shifted():
         # the shifted snap guarantees X >= -2m exactly, so the caller's
         # final sqrt(X + 2m) can never see a negative operand
         assert np.all(X[np.isfinite(X)] >= -2.0 * m), trial
+
+
+def test_ckernel_bit_parity_with_diag():
+    """The compiled kernel (cnative / _native/mp_top1.c) must be
+    BIT-IDENTICAL to the numpy diagonal kernel (_mp_top1_diag) on every
+    eligible integer series: same exact-integer QT recurrence, same
+    float op order (compiled with -ffp-contract=off), same tie rules.
+    Covers planted exact-duplicate windows (ties on both sides) and the
+    full m range the engine dispatches."""
+    import numpy as np
+    from stumpy_spark import cnative, kernels
+
+    if cnative.load() is None:
+        import pytest
+        pytest.skip("compiled kernel unavailable (no gcc?)")
+    rng = np.random.default_rng(17)
+    checked = 0
+    for trial in range(30):
+        n = int(rng.choice([52, 150, 300, 700, 1500, 3000]))
+        m = int(rng.choice([3, 8, 16, 25, 64, 80, 128, 192, 256]))
+        if n < 2 * m:
+            m = max(3, n // 4)
+        vocab = int(rng.choice([5, 56, 1000, 50257]))
+        T = rng.integers(0, vocab, n).astype(float)
+        if rng.random() < 0.4:       # exact duplicate windows -> ties
+            i0 = int(rng.integers(0, n - 2 * m))
+            j0 = int(rng.integers(0, n - m))
+            T[j0:j0 + m] = T[i0:i0 + m]
+        got = kernels._mp_top1_c(np.ascontiguousarray(T), m)
+        if got is None:              # constant window -> fallback
+            continue
+        A, mu, sig, fin, con = kernels.preprocess(T, m)
+        l = n - m + 1
+        P = np.full((l, 1), np.inf)
+        I = np.full((l, 1), -1, dtype=np.int64)
+        IL = np.full(l, -1, dtype=np.int64)
+        IR = np.full(l, -1, dtype=np.int64)
+        PL = np.full(l, np.inf)
+        PR = np.full(l, np.inf)
+        kernels._mp_top1_diag(A, mu, sig, m, con, fin,
+                              bool(con.any()), bool(fin.all()),
+                              kernels.excl_zone(m), P, I, IL, IR, PL, PR)
+        for nm, a, b in zip(["P", "I", "IL", "IR", "PL", "PR"],
+                            got, (P, I, IL, IR, PL, PR)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                trial, nm, n, m, vocab)
+        checked += 1
+    assert checked >= 20
+
+
+def test_ckernel_fallback_gates():
+    """Non-integer, non-finite, over-magnitude, constant-window and
+    hooked series must skip the compiled kernel (status fallback), and
+    matrix_profile must agree with the numpy dispatch at oracle
+    precision either way."""
+    import numpy as np
+    import numpy.testing as npt
+    from stumpy_spark import cnative, kernels
+
+    rs = np.random.RandomState(3)
+    assert kernels._mp_top1_c(rs.normal(size=100), 8) is None
+    assert kernels._mp_top1_c(np.ones(100), 8) is None
+    bad = rs.randint(0, 50, 100).astype(float)
+    bad[7] = np.inf
+    assert kernels._mp_top1_c(bad, 8) is None
+    assert kernels._mp_top1_c(np.full(100, 2.0 ** 26), 8) is None
+    # hook forces the numpy path inside matrix_profile (C path is gated
+    # on T_subseq_isconstant is None)
+    T = rs.randint(0, 1000, 400).astype(float)
+    hook = np.zeros(400 - 25 + 1, dtype=bool)
+    hook[5] = True
+    P_h, I_h, _, _ = kernels.matrix_profile(
+        T, 25, T_A_subseq_isconstant=hook)
+    assert np.isclose(P_h[5, 0], np.sqrt(25.0)) or np.isfinite(P_h[5, 0])
+    # C dispatch output equals the numpy dispatch output at oracle
+    # precision (values can differ only in the last float digits:
+    # different-but-equivalent arithmetic routes)
+    if cnative.load() is not None:
+        got = kernels.matrix_profile(T, 25, return_left_right_P=True)
+        orig = cnative._fn
+        try:
+            cnative._fn = None
+            cnative._failed = True
+            ref = kernels.matrix_profile(T, 25, return_left_right_P=True)
+        finally:
+            cnative._fn = orig
+            cnative._failed = False
+        for nm, a, b in zip(["P", "I", "IL", "IR", "PL", "PR"],
+                            got, ref):
+            if nm in ("P", "PL", "PR"):
+                af = np.asarray(a, float).ravel()
+                bf = np.asarray(b, float).ravel()
+                with np.errstate(invalid="ignore"):
+                    d = np.abs(af - bf)
+                d[np.isinf(af) & np.isinf(bf)] = 0.0
+                npt.assert_array_less(np.nanmax(d), 1e-8, nm)
