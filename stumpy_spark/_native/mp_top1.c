@@ -40,7 +40,79 @@
 #include <immintrin.h>
 #endif
 
-#define K 8
+#define K 16
+
+/* Single-pass sliding-window stats over a batch of concatenated
+ * integer token sequences (the flat Arrow layout: values + offsets).
+ *
+ * For every document d with n >= m tokens, emits over its n-m+1
+ * windows: the int64 sum of window sums, min/max window mean and
+ * min/max window std — the same quantities as the numpy path, from the
+ * same arithmetic: window sums are exact int64 (rolling update
+ * ws += t[i+m-1] - t[i-1] equals the cumsum difference exactly),
+ * mean = ws/m, var = ws2/m - mean*mean clamped at 0, std = sqrt(var).
+ * Outputs are bit-identical to the numpy implementation; this version
+ * makes ONE pass over the tokens with O(1) state instead of ~15
+ * full-length numpy passes (cumsums, squares, diffs, reduceats) — the
+ * difference between DRAM-bound and register-bound on this workload.
+ *
+ * n_windows[d] = 0 marks ineligible (n < m) documents; their other
+ * outputs are unspecified. */
+void sliding_stats_int32(const int32_t *restrict vals,
+                         const int64_t *restrict off, int64_t n_docs,
+                         int64_t m,
+                         int32_t *restrict n_windows,
+                         int64_t *restrict sum_ws,
+                         double *restrict min_mean,
+                         double *restrict max_mean,
+                         double *restrict min_std,
+                         double *restrict max_std)
+{
+    const double dm = (double)m;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t s = off[d], e = off[d + 1];
+        int64_t n = e - s;
+        if (n < m) {
+            n_windows[d] = 0;
+            continue;
+        }
+        const int32_t *t = vals + s;
+        int64_t ws = 0, ws2 = 0;
+        for (int64_t i = 0; i < m; i++) {
+            int64_t v = t[i];
+            ws += v;
+            ws2 += v * v;
+        }
+        int64_t acc = ws;
+        double mu = (double)ws / dm;
+        double var = (double)ws2 / dm - mu * mu;
+        if (var < 0.0)
+            var = 0.0;
+        double sd = sqrt(var);
+        double mn_mu = mu, mx_mu = mu, mn_sd = sd, mx_sd = sd;
+        for (int64_t i = m; i < n; i++) {
+            int64_t add = t[i], sub = t[i - m];
+            ws += add - sub;
+            ws2 += add * add - sub * sub;
+            acc += ws;
+            mu = (double)ws / dm;
+            var = (double)ws2 / dm - mu * mu;
+            if (var < 0.0)
+                var = 0.0;
+            sd = sqrt(var);
+            mn_mu = mu < mn_mu ? mu : mn_mu;
+            mx_mu = mu > mx_mu ? mu : mx_mu;
+            mn_sd = sd < mn_sd ? sd : mn_sd;
+            mx_sd = sd > mx_sd ? sd : mx_sd;
+        }
+        n_windows[d] = (int32_t)(n - m + 1);
+        sum_ws[d] = acc;
+        min_mean[d] = mn_mu;
+        max_mean[d] = mx_mu;
+        min_std[d] = mn_sd;
+        max_std[d] = mx_sd;
+    }
+}
 
 /* status: 0 = done; 1 = ineligible (non-finite / non-integral /
  * magnitude bound); 2 = constant window (sig == 0) present;
@@ -133,53 +205,78 @@ int mp_top1_self_int(const double *restrict T, int64_t n, int64_t m,
         int64_t Lfull = l - d0 - (kb - 1);
         if (kb == K) {
 #if defined(__AVX512F__)
-            /* one zmm register per quantity; every arithmetic op is a
-             * per-lane IEEE mul/sub/add (no FMA), so lane values are
-             * bit-identical to the scalar/Numpy route */
-            __m512d qtv = _mm512_loadu_pd(qt);
+            /* two zmm blocks (16 lanes) interleaved for ILP; every
+             * arithmetic op is a per-lane IEEE mul/sub/add (no FMA), so
+             * lane values are bit-identical to the scalar route */
+            __m512d qtv0 = _mm512_loadu_pd(qt);
+            __m512d qtv1 = _mm512_loadu_pd(qt + 8);
             const __m512d thrv = _mm512_set1_pd(thr);
             const __m512d ntwomv = _mm512_set1_pd(-twom);
             for (int64_t i = 0; i < Lfull; i++) {
                 if (i > 0) {
                     __m512d ta = _mm512_set1_pd(T[i + m - 1]);
                     __m512d ts = _mm512_set1_pd(T[i - 1]);
-                    __m512d Ta = _mm512_loadu_pd(T + i + d0 + m - 1);
-                    __m512d Ts = _mm512_loadu_pd(T + i + d0 - 1);
-                    qtv = _mm512_add_pd(
-                        qtv,
-                        _mm512_sub_pd(_mm512_mul_pd(ta, Ta),
-                                      _mm512_mul_pd(ts, Ts)));
+                    __m512d Ta0 = _mm512_loadu_pd(T + i + d0 + m - 1);
+                    __m512d Ts0 = _mm512_loadu_pd(T + i + d0 - 1);
+                    __m512d Ta1 = _mm512_loadu_pd(T + i + d0 + m + 7);
+                    __m512d Ts1 = _mm512_loadu_pd(T + i + d0 + 7);
+                    qtv0 = _mm512_add_pd(qtv0,
+                        _mm512_sub_pd(_mm512_mul_pd(ta, Ta0),
+                                      _mm512_mul_pd(ts, Ts0)));
+                    qtv1 = _mm512_add_pd(qtv1,
+                        _mm512_sub_pd(_mm512_mul_pd(ta, Ta1),
+                                      _mm512_mul_pd(ts, Ts1)));
                 }
                 int64_t j0 = i + d0;
                 __m512d nf = _mm512_set1_pd(negfac[i]);
                 __m512d gv = _mm512_set1_pd(gvec[i]);
-                __m512d rs = _mm512_loadu_pd(rsig + j0);
-                __m512d mr = _mm512_loadu_pd(murs + j0);
-                __m512d ev = _mm512_add_pd(
-                    _mm512_mul_pd(_mm512_mul_pd(qtv, nf), rs),
-                    _mm512_mul_pd(mr, gv));
-                __mmask8 snap = _mm512_cmp_pd_mask(ev, thrv, _CMP_LT_OQ);
-                ev = _mm512_mask_blend_pd(snap, ev, ntwomv);
-                /* col side: (e < pl) | (e == pl & i < il) */
-                __m512d plv = _mm512_loadu_pd(pl + j0);
-                __m512i ilv = _mm512_loadu_si512(il + j0);
+                __m512d ev0 = _mm512_add_pd(
+                    _mm512_mul_pd(_mm512_mul_pd(qtv0, nf),
+                                  _mm512_loadu_pd(rsig + j0)),
+                    _mm512_mul_pd(_mm512_loadu_pd(murs + j0), gv));
+                __m512d ev1 = _mm512_add_pd(
+                    _mm512_mul_pd(_mm512_mul_pd(qtv1, nf),
+                                  _mm512_loadu_pd(rsig + j0 + 8)),
+                    _mm512_mul_pd(_mm512_loadu_pd(murs + j0 + 8), gv));
+                ev0 = _mm512_mask_blend_pd(
+                    _mm512_cmp_pd_mask(ev0, thrv, _CMP_LT_OQ),
+                    ev0, ntwomv);
+                ev1 = _mm512_mask_blend_pd(
+                    _mm512_cmp_pd_mask(ev1, thrv, _CMP_LT_OQ),
+                    ev1, ntwomv);
                 __m512i iv = _mm512_set1_epi64(i);
-                __mmask8 lt = _mm512_cmp_pd_mask(ev, plv, _CMP_LT_OQ);
-                __mmask8 eq = _mm512_cmp_pd_mask(ev, plv, _CMP_EQ_OQ);
-                __mmask8 ilt = _mm512_cmplt_epi64_mask(iv, ilv);
-                __mmask8 take = lt | (eq & ilt);
-                _mm512_mask_storeu_pd(pl + j0, take, ev);
-                _mm512_mask_storeu_epi64(il + j0, take, iv);
-                /* row side: min lane, lowest lane index on ties */
-                double emin = _mm512_reduce_min_pd(ev);
+                /* col side, block 0 then block 1 (disjoint j ranges) */
+                __m512d plv0 = _mm512_loadu_pd(pl + j0);
+                __m512i ilv0 = _mm512_loadu_si512(il + j0);
+                __mmask8 take0 =
+                    _mm512_cmp_pd_mask(ev0, plv0, _CMP_LT_OQ) |
+                    (_mm512_cmp_pd_mask(ev0, plv0, _CMP_EQ_OQ) &
+                     _mm512_cmplt_epi64_mask(iv, ilv0));
+                _mm512_mask_storeu_pd(pl + j0, take0, ev0);
+                _mm512_mask_storeu_epi64(il + j0, take0, iv);
+                __m512d plv1 = _mm512_loadu_pd(pl + j0 + 8);
+                __m512i ilv1 = _mm512_loadu_si512(il + j0 + 8);
+                __mmask8 take1 =
+                    _mm512_cmp_pd_mask(ev1, plv1, _CMP_LT_OQ) |
+                    (_mm512_cmp_pd_mask(ev1, plv1, _CMP_EQ_OQ) &
+                     _mm512_cmplt_epi64_mask(iv, ilv1));
+                _mm512_mask_storeu_pd(pl + j0 + 8, take1, ev1);
+                _mm512_mask_storeu_epi64(il + j0 + 8, take1, iv);
+                /* row side: min over both blocks, lowest j on ties */
+                double e0 = _mm512_reduce_min_pd(ev0);
+                double e1 = _mm512_reduce_min_pd(ev1);
+                double emin = e1 < e0 ? e1 : e0;
                 if (emin < pr[i]) {
+                    __m512d eb = e1 < e0 ? ev1 : ev0;
+                    int64_t base = e1 < e0 ? j0 + 8 : j0;
                     __mmask8 em = _mm512_cmp_pd_mask(
-                        ev, _mm512_set1_pd(emin), _CMP_EQ_OQ);
+                        eb, _mm512_set1_pd(emin), _CMP_EQ_OQ);
                     pr[i] = emin;
-                    ir[i] = j0 + __builtin_ctz((unsigned)em);
+                    ir[i] = base + __builtin_ctz((unsigned)em);
                 }
             }
-            _mm512_storeu_pd(qt, qtv);
+            _mm512_storeu_pd(qt, qtv0);
+            _mm512_storeu_pd(qt + 8, qtv1);
 #else
             for (int64_t i = 0; i < Lfull; i++) {
                 if (i > 0) {

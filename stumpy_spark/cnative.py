@@ -79,9 +79,15 @@ def load():
             fn.restype = ctypes.c_int
             dp = ctypes.POINTER(ctypes.c_double)
             lp = ctypes.POINTER(ctypes.c_int64)
+            ip = ctypes.POINTER(ctypes.c_int32)
             fn.argtypes = [dp, ctypes.c_int64, ctypes.c_int64,
                            ctypes.c_int64, ctypes.c_double,
                            dp, lp, dp, lp]
+            ss = lib.sliding_stats_int32
+            ss.restype = None
+            ss.argtypes = [ip, lp, ctypes.c_int64, ctypes.c_int64,
+                           ip, lp, dp, dp, dp, dp]
+            fn._sliding_stats = ss
             _fn = fn
         except Exception:
             _failed = True
@@ -115,3 +121,35 @@ def mp_top1_self_int(T, m: int, ez: int, p_norm_threshold: float):
                 pr.ctypes.data_as(dp), ir.ctypes.data_as(lp),
                 pl.ctypes.data_as(dp), il.ctypes.data_as(lp))
     return status, pr, ir, pl, il
+
+
+def sliding_stats_int32(vals, off, m: int):
+    """Single-pass sliding stats over a flat int32 token batch.
+
+    ``vals``: contiguous int32 values; ``off``: int64 offsets
+    (n_docs + 1).  Returns ``(n_windows, sum_ws, min_mean, max_mean,
+    min_std, max_std)`` per document (``n_windows == 0`` marks n < m),
+    bit-identical to the numpy flat path — or None when the compiled
+    library is unavailable.
+    """
+    import numpy as np
+
+    fn = load()
+    if fn is None:
+        return None
+    n_docs = len(off) - 1
+    nw = np.empty(n_docs, dtype=np.int32)
+    sum_ws = np.empty(n_docs, dtype=np.int64)
+    mn = np.empty(n_docs)
+    mx = np.empty(n_docs)
+    mns = np.empty(n_docs)
+    mxs = np.empty(n_docs)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lp = ctypes.POINTER(ctypes.c_int64)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    fn._sliding_stats(
+        vals.ctypes.data_as(ip), off.ctypes.data_as(lp), n_docs, m,
+        nw.ctypes.data_as(ip), sum_ws.ctypes.data_as(lp),
+        mn.ctypes.data_as(dp), mx.ctypes.data_as(dp),
+        mns.ctypes.data_as(dp), mxs.ctypes.data_as(dp))
+    return nw, sum_ws, mn, mx, mns, mxs

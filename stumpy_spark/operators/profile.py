@@ -74,6 +74,83 @@ def _seq_iter(batches: Iterator[pd.DataFrame], id_col: str, tokens_col: str):
         yield pdf[id_col].to_numpy(), pdf[tokens_col].to_numpy()
 
 
+def _flat_tokens(rb, tokens_col: str):
+    """Zero-copy flat view of an Arrow batch's token lists.
+
+    Returns ``(flat_int64, offsets_int64)``: the concatenated token
+    values and the per-row boundaries into them.  Avoids the
+    per-row numpy-object materialization that ``mapInPandas`` performs
+    for list columns (guide §4.1: pass batches, not rows, across the
+    boundary).
+    """
+    import numpy as np
+
+    col = rb.column(rb.schema.get_field_index(tokens_col))
+    off = col.offsets.to_numpy().astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return flat, off
+
+
+def _flat_sliding_stats(flat, off, m: int):
+    """Vectorized-across-documents sliding-window stats.
+
+    Same arithmetic as the per-document path (exact int64 window sums
+    from cumulative sums; ``mean = ws/m``; ``var = ws2/m - mean^2``
+    clamped at 0) computed once over the concatenated token stream,
+    then segment-reduced per document — bit-identical outputs, no
+    per-document Python loop.  Cross-document windows are computed but
+    never read (the segment bounds exclude them); int64 cumsum wrap
+    across a huge batch is harmless because only within-document
+    differences (true window sums) are consumed.
+
+    Returns ``(eligible_mask, n_windows, sum_ws, min_mean, max_mean,
+    min_std, max_std)`` where the per-doc arrays cover eligible
+    (n >= m) documents in batch order.
+    """
+    import numpy as np
+
+    n_tok = off[1:] - off[:-1]
+    elig = n_tok >= m
+    if len(flat) < m or not elig.any():
+        z = np.empty(0)
+        zi = np.empty(0, dtype=np.int64)
+        return elig, zi, zi, z, z, z, z
+    if flat.dtype == np.int32 and flat.flags.c_contiguous:
+        # compiled single-pass path (bit-identical; see cnative)
+        from .. import cnative
+        res = cnative.sliding_stats_int32(flat, np.ascontiguousarray(
+            off, dtype=np.int64), m)
+        if res is not None:
+            nw, sum_ws, mn, mx, mns, mxs = res
+            return (elig, nw[elig].astype(np.int64), sum_ws[elig],
+                    mn[elig], mx[elig], mns[elig], mxs[elig])
+    t = flat.astype(np.int64, copy=False)
+    cs = np.cumsum(t)
+    cs2 = np.cumsum(t * t)
+    # ws[g] = sum of flat[g:g+m]  (cs[g+m-1] - cs[g-1], cs[-1] := 0)
+    ws = cs[m - 1:].copy()
+    ws[1:] -= cs[:-m]
+    ws2 = cs2[m - 1:].copy()
+    ws2[1:] -= cs2[:-m]
+    mean = ws.astype(np.float64) / m
+    var = ws2.astype(np.float64) / m - mean * mean
+    np.maximum(var, 0.0, out=var)
+    std = np.sqrt(var)
+    starts = off[:-1][elig]
+    ends = off[1:][elig] - m + 1          # exclusive, in window space
+    idx = np.empty(2 * len(starts), dtype=np.int64)
+    idx[0::2] = starts
+    idx[1::2] = ends
+    idx_r = idx[:-1] if idx[-1] >= len(ws) else idx
+    sum_ws = np.add.reduceat(ws, idx_r)[0::2]
+    min_mean = np.minimum.reduceat(mean, idx_r)[0::2]
+    max_mean = np.maximum.reduceat(mean, idx_r)[0::2]
+    min_std = np.minimum.reduceat(std, idx_r)[0::2]
+    max_std = np.maximum.reduceat(std, idx_r)[0::2]
+    return (elig, (n_tok[elig] - m + 1), sum_ws,
+            min_mean, max_mean, min_std, max_std)
+
+
 def stump(df: DataFrame, m: int, k: int = 1, normalize: bool = True,
           p: float = 2.0, id_col: str = "doc_id",
           tokens_col: str = "tokens") -> DataFrame:
@@ -117,13 +194,24 @@ def profile_summary(df: DataFrame, m: int, normalize: bool = True,
     """Per-sequence matrix-profile summary: motif (min P) and discord (max
     finite P) with positions.  One output row per input sequence — the
     shape rollup tiers consume."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for ids, seqs in _seq_iter(batches, id_col, tokens_col):
-            rows = []
-            for did, toks in zip(ids, seqs):
-                a = np.asarray(toks, dtype=np.float64)
-                if len(a) < 2 * m:
+    def run(batches) -> "Iterator":
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            flat, off = _flat_tokens(rb, tokens_col)
+            keep = []
+            nw = []
+            minp = []
+            maxp = []
+            mis = []
+            mjs = []
+            for r in range(rb.num_rows):
+                s, e = off[r], off[r + 1]
+                if e - s < 2 * m:
                     continue
+                a = flat[s:e].astype(np.float64)
                 if normalize:
                     P, I, _, _ = kernels.matrix_profile(
                         a, m, compute_left_right=False)
@@ -135,14 +223,27 @@ def profile_summary(df: DataFrame, m: int, normalize: bool = True,
                     continue
                 mi = int(np.argmin(np.where(finite, p0, np.inf)))
                 ma = int(np.argmax(np.where(finite, p0, -np.inf)))
-                rows.append((did, len(p0), float(p0[mi]), float(p0[ma]),
-                             mi, int(I[mi, 0])))
-            if rows:
-                yield pd.DataFrame(rows, columns=[
-                    "doc_id", "n_windows", "min_p", "max_p",
-                    "motif_i", "motif_j"])
+                keep.append(r)
+                nw.append(len(p0))
+                minp.append(float(p0[mi]))
+                maxp.append(float(p0[ma]))
+                mis.append(mi)
+                mjs.append(int(I[mi, 0]))
+            if not keep:
+                continue
+            ids = rb.column(rb.schema.get_field_index(id_col)).take(
+                pa.array(keep, type=pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(nw, type=pa.int32()),
+                 pa.array(minp, type=pa.float64()),
+                 pa.array(maxp, type=pa.float64()),
+                 pa.array(mis, type=pa.int64()),
+                 pa.array(mjs, type=pa.int64())],
+                names=["doc_id", "n_windows", "min_p", "max_p",
+                       "motif_i", "motif_j"])
 
-    return df.select(id_col, tokens_col).mapInPandas(
+    return df.select(id_col, tokens_col).mapInArrow(
         run, schema=_SUMMARY_SCHEMA)
 
 
@@ -201,29 +302,29 @@ def sliding_stats(df: DataFrame, m: int, id_col: str = "doc_id",
     Emits per-sequence: n_windows, sum of all window sums (int64, exact),
     min/max window mean, min/max window std.
     """
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for ids, seqs in _seq_iter(batches, id_col, tokens_col):
-            rows = []
-            for did, toks in zip(ids, seqs):
-                t = np.asarray(toks, dtype=np.int64)
-                n = len(t)
-                if n < m:
-                    continue
-                cs = np.concatenate(([0], np.cumsum(t)))
-                cs2 = np.concatenate(([0], np.cumsum(t * t)))
-                ws = cs[m:] - cs[:-m]                # int64 exact
-                ws2 = cs2[m:] - cs2[:-m]             # int64 exact
-                mean = ws.astype(np.float64) / m
-                var = ws2.astype(np.float64) / m - mean * mean
-                np.maximum(var, 0.0, out=var)
-                std = np.sqrt(var)
-                rows.append((did, n - m + 1, int(ws.sum()),
-                             float(mean.min()), float(mean.max()),
-                             float(std.min()), float(std.max())))
-            if rows:
-                yield pd.DataFrame(rows, columns=[
-                    "doc_id", "n_windows", "sum_window_sums",
-                    "min_mean", "max_mean", "min_std", "max_std"])
+    def run(batches) -> "Iterator":
+        import pyarrow as pa
 
-    return df.select(id_col, tokens_col).mapInPandas(
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            flat, off = _flat_tokens(rb, tokens_col)
+            (elig, nw, sum_ws, min_mean, max_mean,
+             min_std, max_std) = _flat_sliding_stats(flat, off, m)
+            if not elig.any():
+                continue
+            ids = rb.column(rb.schema.get_field_index(id_col)).filter(
+                pa.array(elig))
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(nw.astype(np.int32), type=pa.int32()),
+                 pa.array(sum_ws, type=pa.int64()),
+                 pa.array(min_mean, type=pa.float64()),
+                 pa.array(max_mean, type=pa.float64()),
+                 pa.array(min_std, type=pa.float64()),
+                 pa.array(max_std, type=pa.float64())],
+                names=["doc_id", "n_windows", "sum_window_sums",
+                       "min_mean", "max_mean", "min_std", "max_std"])
+
+    return df.select(id_col, tokens_col).mapInArrow(
         run, schema=_SLIDING_SCHEMA)

@@ -73,13 +73,46 @@ def gapfill(tier_df: DataFrame, tier: str, start=None, end=None,
     """
     if locf and interpolate:
         raise ValueError("locf and interpolate are mutually exclusive")
-    spine = bucket_spine(tier_df, tier, start=start, end=end)
-    if broadcast is None:
-        broadcast = _tier_rows_estimate(tier_df) <= BROADCAST_ROW_LIMIT
-    # left-outer: only the right (aggregated, post-rollup) side can be
-    # broadcast; the dense spine stays partitioned by source
-    right = F.broadcast(tier_df) if broadcast else tier_df
-    filled = spine.join(right, ["source", "bucket"], "left")
+    if start is None and end is None:
+        # Single-pass spine (guide §2.4 — remove shuffles/passes
+        # outright): the legacy spine-join consumed ``tier_df`` twice
+        # (once for the per-source bounds aggregate, once as the join
+        # right side), so the whole upstream lineage — including the
+        # Python kernel scan that feeds rollup tiers — executed twice
+        # per query.  Here every output row is generated from ONE pass:
+        # each observed row explodes the bucket run
+        # ``(prev_bucket, bucket]`` so the gaps between consecutive
+        # observations (all NULL metrics, zero-filled below) and the
+        # observed row itself come out of the same window+explode.
+        # Bucket sets and values are identical to the spine join:
+        # buckets are step-aligned (date_trunc), so the sequence lands
+        # exactly on each observed bucket.  ``broadcast`` is
+        # meaningless here (no join) and ignored.
+        step_iv = F.expr(f"interval {TIER_SECONDS[tier]} seconds")
+        w = Window.partitionBy("source").orderBy("bucket")
+        seq_start = F.coalesce(F.lag("bucket").over(w) + step_iv,
+                               F.col("bucket"))
+        fill_cols = [c for c in tier_df.columns
+                     if c not in ("source", "bucket")]
+        exploded = (tier_df
+                    .withColumn("_sb", seq_start)
+                    .select(F.col("source"),
+                            F.col("bucket").alias("_ob"), *fill_cols,
+                            F.explode(F.sequence(
+                                F.col("_sb"), F.col("bucket"),
+                                step_iv)).alias("bucket")))
+        observed = F.col("bucket") == F.col("_ob")
+        filled = exploded.select(
+            "source", "bucket",
+            *[F.when(observed, F.col(c)).alias(c) for c in fill_cols])
+    else:
+        spine = bucket_spine(tier_df, tier, start=start, end=end)
+        if broadcast is None:
+            broadcast = _tier_rows_estimate(tier_df) <= BROADCAST_ROW_LIMIT
+        # left-outer: only the right (aggregated, post-rollup) side can
+        # be broadcast; the dense spine stays partitioned by source
+        right = F.broadcast(tier_df) if broadcast else tier_df
+        filled = spine.join(right, ["source", "bucket"], "left")
     for c in _ZERO_FILL:
         if c in tier_df.columns:
             filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0)))

@@ -93,13 +93,11 @@ def per_sequence_stats_fused(df: DataFrame, m: int = 25,
     compute-heavy path used by the scaling benchmark; the cheap variant is
     what the SQL-oracle-checked rollup queries use.
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     from .. import kernels
+    from ..operators.profile import _flat_sliding_stats, _flat_tokens
 
     fields = [
         T.StructField("doc_id", T.StringType()),
@@ -117,59 +115,63 @@ def per_sequence_stats_fused(df: DataFrame, m: int = 25,
                    T.StructField("max_p", T.DoubleType())]
     schema = T.StructType(fields)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            n = len(pdf)
+            flat, off = _flat_tokens(rb, "tokens")
+            # flat vectorized sliding stats across the whole batch (no
+            # per-document Python loop; bit-identical arithmetic —
+            # see _flat_sliding_stats)
+            (elig, _, sum_e, mn_e, mx_e, mns_e,
+             mxs_e) = _flat_sliding_stats(flat, off, m)
             sws = np.zeros(n, dtype=np.int64)
             mins = np.full(n, np.nan)
             maxs = np.full(n, np.nan)
             minstd = np.full(n, np.nan)
             maxstd = np.full(n, np.nan)
-            minp = np.full(n, np.nan)
-            maxp = np.full(n, np.nan)
-            for r, toks in enumerate(pdf["tokens"].to_numpy()):
-                t = np.asarray(toks, dtype=np.int64)
-                if len(t) < m:
-                    continue
-                cs = np.concatenate(([0], np.cumsum(t)))
-                cs2 = np.concatenate(([0], np.cumsum(t * t)))
-                ws = cs[m:] - cs[:-m]
-                ws2 = cs2[m:] - cs2[:-m]
-                mean = ws.astype(np.float64) / m
-                var = ws2.astype(np.float64) / m - mean * mean
-                np.maximum(var, 0.0, out=var)
-                std = np.sqrt(var)
-                sws[r] = ws.sum()
-                mins[r] = mean.min()
-                maxs[r] = mean.max()
-                minstd[r] = std.min()
-                maxstd[r] = std.max()
-                if include_profile and len(t) >= 2 * m:
+            if elig.any():
+                sws[elig] = sum_e
+                mins[elig] = mn_e
+                maxs[elig] = mx_e
+                minstd[elig] = mns_e
+                maxstd[elig] = mxs_e
+            stat_cols = [mins, maxs, minstd, maxstd]
+            if include_profile:
+                # per-sequence top-1 profile min/max (compute-heavy
+                # kernel; the compiled diagonal kernel handles each doc)
+                minp = np.full(n, np.nan)
+                maxp = np.full(n, np.nan)
+                for r in range(n):
+                    s, e = off[r], off[r + 1]
+                    if e - s < 2 * m:
+                        continue
                     P = kernels.matrix_profile(
-                        t.astype(np.float64), m,
+                        flat[s:e].astype(np.float64), m,
                         compute_left_right=False)[0][:, 0]
                     finite = np.isfinite(P)
                     if finite.any():
                         minp[r] = P[finite].min()
                         maxp[r] = P[finite].max()
-            out = pdf[["doc_id", "source", "event_ts", "n_tok"]].copy()
-            out["sum_window_sums"] = sws
+                stat_cols += [minp, maxp]
+            gi = rb.schema.get_field_index
+            arrays = [rb.column(gi("doc_id")), rb.column(gi("source")),
+                      rb.column(gi("event_ts")), rb.column(gi("n_tok")),
+                      pa.array(sws, type=pa.int64())]
             # short sequences (n < m) must yield NULL, not NaN: Spark's
             # min/max treat NaN as the largest double (poisoning max),
             # while NULLs are skipped — and the SQL oracle yields NULL
-            stat_cols = [("min_mean", mins), ("max_mean", maxs),
-                         ("min_std", minstd), ("max_std", maxstd)]
-            if include_profile:
-                stat_cols += [("min_p", minp), ("max_p", maxp)]
-            for col, arr in stat_cols:
-                out[col] = pd.array(arr, dtype="Float64")
-                out.loc[np.isnan(arr), col] = pd.NA
-            yield out
+            for arr in stat_cols:
+                arrays.append(pa.array(arr, type=pa.float64(),
+                                       from_pandas=True))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in fields])
 
     cols = ["doc_id", "tokens", "source", "event_ts", "n_tok"]
-    return df.select(*cols).mapInPandas(run, schema=schema)
+    return df.select(*cols).mapInArrow(run, schema=schema)
 
 
 def rollup_tier(raw: DataFrame, tier: str,

@@ -22,6 +22,11 @@ def get_spark(app_name: str = "stumpy-spark", cpus: int | None = None,
         os.environ.setdefault(v, "1")
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # build the optional compiled kernel once in the driver before any
+    # Python worker forks — workers then dlopen the cached .so instead
+    # of racing 32 parallel gcc invocations on first use
+    from . import cnative
+    cnative.load()
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 32)
     builder = (

@@ -645,3 +645,36 @@ def test_ckernel_fallback_gates():
                     d = np.abs(af - bf)
                 d[np.isinf(af) & np.isinf(bf)] = 0.0
                 npt.assert_array_less(np.nanmax(d), 1e-8, nm)
+
+
+def test_c_sliding_stats_bit_parity():
+    """The compiled single-pass sliding-stats kernel must be
+    bit-identical to the numpy flat path (and therefore to the original
+    per-document cumsum arithmetic) across short docs, boundary lengths
+    and extreme values."""
+    import numpy as np
+    from stumpy_spark import cnative
+    from stumpy_spark.operators import profile as OP
+
+    if cnative.load() is None:
+        import pytest
+        pytest.skip("compiled kernel unavailable (no gcc?)")
+    rng = np.random.default_rng(5)
+    docs = []
+    for _ in range(300):
+        n = int(rng.choice([1, 3, 24, 25, 26, 150, 2048]))
+        docs.append(rng.integers(0, 50257, n).astype(np.int32))
+    docs.append(np.full(100, 2 ** 31 - 1, dtype=np.int32))
+    flat = np.concatenate(docs)
+    off = np.concatenate(
+        [[0], np.cumsum([len(d) for d in docs])]).astype(np.int64)
+    for m in (1, 8, 25):
+        got = cnative.sliding_stats_int32(flat, off, m)
+        assert got is not None
+        ref = OP._flat_sliding_stats(flat.astype(np.int64), off, m)
+        elig = ref[0]
+        packed = [got[0][elig].astype(np.int64), got[1][elig],
+                  got[2][elig], got[3][elig], got[4][elig],
+                  got[5][elig]]
+        for i, (a, b) in enumerate(zip(packed, ref[1:])):
+            assert np.array_equal(a, b), (m, i)

@@ -110,9 +110,13 @@ def test_gapfill_locf(raw):
 
 
 def test_gapfill_broadcast_conditional(raw):
-    """broadcast=False must shuffle-join (no BroadcastHashJoin in the plan)
-    and still produce identical rows; broadcast=True must broadcast."""
+    """The explicit-bounds (spine-join) path: broadcast=False must
+    shuffle-join (no BroadcastHashJoin in the plan) and still produce
+    identical rows; broadcast=True must broadcast.  (The default
+    no-bounds path is single-pass and join-free — see
+    test_gapfill_single_pass.)"""
     t1h = RT.rollup_tier(raw, "1h")
+    lo, hi = t1h.selectExpr("min(bucket)", "max(bucket)").first()
 
     def plan_str(df):
         jvm = df.sparkSession._jvm
@@ -125,9 +129,9 @@ def test_gapfill_broadcast_conditional(raw):
         # with auto-broadcast off, broadcast=False must have NO broadcast
         # hint anywhere (at 100x the size estimate alone disables it)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        no_bc = gapfill(t1h, "1h", broadcast=False)
+        no_bc = gapfill(t1h, "1h", start=lo, end=hi, broadcast=False)
         assert "BroadcastHashJoin" not in plan_str(no_bc)
-        bc = gapfill(t1h, "1h", broadcast=True)
+        bc = gapfill(t1h, "1h", start=lo, end=hi, broadcast=True)
         assert "BroadcastHashJoin" in plan_str(bc)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
@@ -136,6 +140,41 @@ def test_gapfill_broadcast_conditional(raw):
     b = bc.toPandas().sort_values(["source", "bucket"]) \
         .reset_index(drop=True)
     assert (a.n_seq == b.n_seq).all() and len(a) == len(b)
+
+
+def test_gapfill_single_pass(raw):
+    """The default (no start/end) gapfill must equal the legacy
+    per-source spine join row-for-row, with NO join in its plan and the
+    tier lineage consumed exactly once (the spine join ran the upstream
+    Python kernel scan twice per query)."""
+    from pyspark.sql import functions as F
+
+    from stumpy_spark.rollup.gapfill import _ZERO_FILL, bucket_spine
+
+    t1h = RT.rollup_tier(raw, "1h")
+    sp = gapfill(t1h, "1h")
+    # the pre-round-6 default: per-source bounds spine + broadcast join
+    legacy = bucket_spine(t1h, "1h").join(
+        F.broadcast(t1h), ["source", "bucket"], "left")
+    for c in _ZERO_FILL:
+        if c in t1h.columns:
+            legacy = legacy.withColumn(
+                c, F.coalesce(F.col(c), F.lit(0)))
+
+    def plan_str(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan = plan_str(sp)
+    assert "Join" not in plan
+    # the cached raw fixture makes lineage consumers visible as
+    # InMemoryTableScans: the spine join had two, single-pass has one
+    assert plan.count("InMemoryTableScan") == 1
+    assert plan_str(legacy).count("InMemoryTableScan") == 2
+    a = sp.toPandas().sort_values(["source", "bucket"]) \
+        .reset_index(drop=True)
+    b = legacy.toPandas().sort_values(["source", "bucket"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_distinct_tokens(spark, raw_pdf):
