@@ -194,6 +194,54 @@ def profile_summary(df: DataFrame, m: int, normalize: bool = True,
     """Per-sequence matrix-profile summary: motif (min P) and discord (max
     finite P) with positions.  One output row per input sequence — the
     shape rollup tiers consume."""
+    def summarize(a):
+        """(n_windows, min_p, max_p, motif_i, motif_j) for one series,
+        or None when no finite profile value exists."""
+        if normalize:
+            P, I, _, _ = kernels.matrix_profile(
+                a, m, compute_left_right=False)
+        else:
+            P, I, _, _ = kernels.matrix_profile_absolute(a, m, p=p)
+        p0 = P[:, 0]
+        finite = np.isfinite(p0)
+        if not finite.any():
+            return None
+        mi = int(np.argmin(np.where(finite, p0, np.inf)))
+        ma = int(np.argmax(np.where(finite, p0, -np.inf)))
+        return len(p0), float(p0[mi]), float(p0[ma]), mi, int(I[mi, 0])
+
+    def summarize_fast(a):
+        """Lean twin of :func:`summarize` on the compiled kernel's raw
+        shifted-space outputs: ``sqrt(x + 2m)`` is strictly increasing
+        (the snap guarantees ``x >= -2m``), so argmin/argmax and their
+        ties are identical in shifted space, and the final values are
+        the same ``sqrt`` expressions — bit-equal results without
+        materializing the P/I arrays.  Returns None to fall back."""
+        if not normalize:
+            return None
+        from .. import cnative
+
+        l = a.shape[0] - m + 1
+        if l < 1:
+            return None
+        res = cnative.mp_top1_self_int(
+            a, m, kernels.excl_zone(m), kernels.config.P_NORM_THRESHOLD)
+        if res is None or res[0] != 0:
+            return None
+        _, pr_, ir_, pl_, il_ = res
+        s = np.minimum(pl_, pr_)
+        if not np.isfinite(s).all():      # rows with no neighbor at all
+            return None
+        twom = 2.0 * m
+        mi = int(np.argmin(s))
+        ma = int(np.argmax(s))
+        if pl_[mi] <= pr_[mi] and np.isfinite(pl_[mi]):
+            mj = int(il_[mi])
+        else:
+            mj = int(ir_[mi]) if np.isfinite(pr_[mi]) else -1
+        return (l, float(np.sqrt(s[mi] + twom)),
+                float(np.sqrt(s[ma] + twom)), mi, mj)
+
     def run(batches) -> "Iterator":
         import pyarrow as pa
 
@@ -212,23 +260,17 @@ def profile_summary(df: DataFrame, m: int, normalize: bool = True,
                 if e - s < 2 * m:
                     continue
                 a = flat[s:e].astype(np.float64)
-                if normalize:
-                    P, I, _, _ = kernels.matrix_profile(
-                        a, m, compute_left_right=False)
-                else:
-                    P, I, _, _ = kernels.matrix_profile_absolute(a, m, p=p)
-                p0 = P[:, 0]
-                finite = np.isfinite(p0)
-                if not finite.any():
+                row = summarize_fast(a)
+                if row is None:
+                    row = summarize(a)
+                if row is None:
                     continue
-                mi = int(np.argmin(np.where(finite, p0, np.inf)))
-                ma = int(np.argmax(np.where(finite, p0, -np.inf)))
                 keep.append(r)
-                nw.append(len(p0))
-                minp.append(float(p0[mi]))
-                maxp.append(float(p0[ma]))
-                mis.append(mi)
-                mjs.append(int(I[mi, 0]))
+                nw.append(row[0])
+                minp.append(row[1])
+                maxp.append(row[2])
+                mis.append(row[3])
+                mjs.append(row[4])
             if not keep:
                 continue
             ids = rb.column(rb.schema.get_field_index(id_col)).take(

@@ -110,3 +110,31 @@ def test_sliding_stats_exact(spark, seq_df):
         # exact integer invariant
         wsum = sum(int(T[i:i + m].sum()) for i in range(len(T) - m + 1))
         assert row.sum_window_sums == wsum
+
+
+def test_profile_summary_fast_path_parity(spark):
+    """profile_summary's lean compiled-kernel summary path must produce
+    row-identical output to the numpy fallback route."""
+    import numpy as np
+    import pandas as pd
+    from stumpy_spark import cnative
+    from stumpy_spark import operators as ops
+    from stumpy_spark.sources import tokseq
+
+    if cnative.load() is None:
+        import pytest
+        pytest.skip("compiled kernel unavailable")
+    df = tokseq.tokseq_df(spark, 300, partitions=2)
+    got = (ops.profile_summary(df, 8).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    try:
+        cnative._failed = True
+        saved, cnative._fn = cnative._fn, None
+        ref = (ops.profile_summary(df, 8).toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    finally:
+        cnative._fn = saved
+        cnative._failed = False
+    pd.testing.assert_frame_equal(got, ref)
+    assert (got.n_windows > 0).all()
+    assert np.isfinite(got.min_p).all()
