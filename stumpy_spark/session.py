@@ -24,9 +24,13 @@ def get_spark(app_name: str = "stumpy-spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # build the optional compiled kernel once in the driver before any
     # Python worker forks — workers then dlopen the cached .so instead
-    # of racing 32 parallel gcc invocations on first use
+    # of racing 32 parallel gcc invocations on first use; pin the cache
+    # dir into the env so workers resolve the same location even if
+    # their TMPDIR differs
     from . import cnative
     cnative.load()
+    os.environ.setdefault("STUMPY_SPARK_CKERNEL_DIR",
+                          cnative._build_dir())
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 32)
     builder = (
